@@ -1,0 +1,70 @@
+"""Linear (elu+1 feature map) and full attention primitives.
+
+Behavioral equivalent of crockwell/far:
+mp3d_loftr/src/loftr/loftr_module/linear_attention.py. The linear
+variant is the reference's long-sequence mechanism (O(N) in the 4800
+coarse tokens); on TPU both the KV aggregation and the output einsums
+lower to MXU matmuls. A fused Pallas path lives in far_tpu.ops and is
+used automatically for large N on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import jax.nn
+
+
+def elu_feature_map(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.elu(x) + 1.0
+
+
+def linear_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """O(N) linear attention ("Transformers are RNNs").
+
+    Args:
+        q: (B, L, H, D); k/v: (B, S, H, D).
+        q_mask: (B, L) bool; kv_mask: (B, S) bool.
+    Returns:
+        (B, L, H, D)
+    """
+    Q = elu_feature_map(q)
+    K = elu_feature_map(k)
+    if q_mask is not None:
+        Q = Q * q_mask[:, :, None, None]
+    if kv_mask is not None:
+        K = K * kv_mask[:, :, None, None]
+        v = v * kv_mask[:, :, None, None]
+
+    v_length = v.shape[1]
+    v = v / v_length  # matches reference fp16 guard; harmless in f32/bf16
+    KV = jnp.einsum("nshd,nshv->nhdv", K, v)
+    Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K.sum(axis=1)) + eps)
+    out = jnp.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * v_length
+    return out
+
+
+def full_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_mask: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Standard softmax attention (the reference's FullAttention option)."""
+    D = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(D, q.dtype))
+    logits = jnp.einsum("nlhd,nshd->nlsh", q, k) * scale
+    if q_mask is not None and kv_mask is not None:
+        mask = q_mask[:, :, None, None] & kv_mask[:, None, :, None]
+        logits = jnp.where(mask, logits, jnp.asarray(-1e9, logits.dtype))
+    A = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(q.dtype)
+    return jnp.einsum("nlsh,nshd->nlhd", A, v)

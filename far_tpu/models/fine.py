@@ -1,0 +1,165 @@
+"""Fine-level refinement: window gather, fine transformer, soft-argmax.
+
+Equivalent of crockwell/far:
+mp3d_loftr/src/loftr/loftr_module/fine_preprocess.py and
+src/loftr/utils/fine_matching.py, re-designed for static shapes: instead
+of unfolding every 5x5 window of the fine map and indexing a dynamic
+match list, we gather exactly K windows at the selected match locations
+(K = MAX_MATCHES, masked). This is also cheaper: the reference's unfold
+materializes L*W*W*C activations, we touch only K*W*W*C.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from far_tpu.models.transformer import LocalFeatureTransformer
+from far_tpu.utils.config import FineConfig
+
+
+def gather_windows(
+    feat_f: jnp.ndarray,
+    ids: jnp.ndarray,
+    coarse_hw: Tuple[int, int],
+    stride: int,
+    window: int,
+) -> jnp.ndarray:
+    """Gather WxW windows of the fine map centered at coarse cells.
+
+    The reference's F.unfold(kernel=W, stride=stride, padding=W//2)
+    window l is centered at fine pixel (stride*y_l, stride*x_l) with zero
+    padding; we reproduce that with clamped gathers + a zero mask.
+
+    Args:
+        feat_f: (B, Hf, Wf, C) fine features.
+        ids: (B, K) coarse grid indices.
+    Returns:
+        (B, K, W*W, C)
+    """
+    B, Hf, Wf, C = feat_f.shape
+    hc, wc = coarse_hw
+    r = window // 2
+
+    yc = (ids // wc) * stride  # (B, K) fine-res centers
+    xc = (ids % wc) * stride
+    dy = jnp.arange(-r, r + 1)
+    dx = jnp.arange(-r, r + 1)
+    oy = jnp.repeat(dy, window)  # (WW,)
+    ox = jnp.tile(dx, window)
+
+    y = yc[..., None] + oy[None, None]  # (B, K, WW)
+    x = xc[..., None] + ox[None, None]
+    inb = (y >= 0) & (y < Hf) & (x >= 0) & (x < Wf)
+    yi = jnp.clip(y, 0, Hf - 1)
+    xi = jnp.clip(x, 0, Wf - 1)
+    flat = feat_f.reshape(B, Hf * Wf, C)
+    idx = (yi * Wf + xi).reshape(B, -1)  # (B, K*WW)
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    out = out.reshape(B, ids.shape[1], window * window, C)
+    return out * inb[..., None]
+
+
+class FinePreprocess(nn.Module):
+    """Window gather + optional coarse-context injection.
+
+    Equivalent of crockwell/far: fine_preprocess.py:29-59.
+    """
+
+    cfg: FineConfig
+    d_model_c: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feat_f0: jnp.ndarray,   # (B, Hf, Wf, Cf)
+        feat_f1: jnp.ndarray,
+        feat_c0: jnp.ndarray,   # (B, L, Cc) transformed coarse features
+        feat_c1: jnp.ndarray,
+        i_ids: jnp.ndarray,     # (B, K)
+        j_ids: jnp.ndarray,
+        coarse_hw: Tuple[int, int],
+        stride: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        W = self.cfg.window_size
+        f0 = gather_windows(feat_f0, i_ids, coarse_hw, stride, W)  # (B,K,WW,Cf)
+        f1 = gather_windows(feat_f1, j_ids, coarse_hw, stride, W)
+
+        if self.cfg.concat_coarse_feat:
+            down = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="down_proj")
+            merge = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="merge_feat")
+            c0 = jnp.take_along_axis(feat_c0, i_ids[..., None], axis=1)  # (B,K,Cc)
+            c1 = jnp.take_along_axis(feat_c1, j_ids[..., None], axis=1)
+            c0 = down(c0)[..., None, :]  # (B, K, 1, Cf)
+            c1 = down(c1)[..., None, :]
+            WW = W * W
+            f0 = merge(jnp.concatenate(
+                [f0, jnp.broadcast_to(c0, f0.shape[:-1] + (self.cfg.d_model,))], -1))
+            f1 = merge(jnp.concatenate(
+                [f1, jnp.broadcast_to(c1, f1.shape[:-1] + (self.cfg.d_model,))], -1))
+            del WW
+        return f0, f1
+
+
+class FineMatching(nn.Module):
+    """Fine transformer + center-vs-window soft-argmax refinement.
+
+    Equivalent of crockwell/far: fine_matching.py:15-76 (expectation +
+    std over the correlation heatmap; sub-pixel update of mkpts1).
+    """
+
+    cfg: FineConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        f0: jnp.ndarray,  # (B, K, WW, C) windows from FinePreprocess
+        f1: jnp.ndarray,
+    ) -> jnp.ndarray:
+        B, K, WW, C = f0.shape
+        ft = LocalFeatureTransformer(
+            d_model=self.cfg.d_model,
+            nhead=self.cfg.nhead,
+            layer_names=tuple(self.cfg.layer_names),
+            attention=self.cfg.attention,
+            dtype=self.dtype,
+            name="loftr_fine",
+        )
+        f0t, f1t = ft(f0.reshape(B * K, WW, C), f1.reshape(B * K, WW, C))
+        f0t = f0t.reshape(B, K, WW, C)
+        f1t = f1t.reshape(B, K, WW, C)
+
+        W = self.cfg.window_size
+        center = f0t[:, :, WW // 2, :]  # (B, K, C)
+        sim = jnp.einsum("bkc,bkrc->bkr", center, f1t) / C ** 0.5
+        heatmap = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)  # (B, K, WW)
+
+        # normalized grid in [-1, 1]
+        ax = jnp.linspace(-1.0, 1.0, W)
+        gy = jnp.repeat(ax, W)
+        gx = jnp.tile(ax, W)
+        grid = jnp.stack([gx, gy], axis=-1)  # (WW, 2), <x, y>
+
+        coords = jnp.einsum("bkr,rd->bkd", heatmap, grid)  # (B, K, 2)
+        var = jnp.einsum("bkr,rd->bkd", heatmap, grid ** 2) - coords ** 2
+        std = jnp.sum(jnp.sqrt(jnp.clip(var, 1e-10)), axis=-1)  # (B, K)
+        return jnp.concatenate([coords, std[..., None]], axis=-1)  # (B, K, 3)
+
+
+def fine_coords_to_kpts(
+    expec_f: jnp.ndarray,
+    mkpts1_c: jnp.ndarray,
+    window: int,
+    fine_scale: float,
+    scale1: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """mkpts1_f = mkpts1_c + coords * (W//2) * fine_scale [* scale1]."""
+    delta = expec_f[..., :2] * (window // 2) * fine_scale
+    if scale1 is not None:
+        delta = delta * scale1[:, None, :]
+    return mkpts1_c + delta

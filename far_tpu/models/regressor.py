@@ -1,0 +1,330 @@
+"""FAR pose regressor: epipolar bilinear attention (EMM) + MoE fusion.
+
+Equivalent of crockwell/far:
+mp3d_loftr/src/loftr/loftr_module/transformer.py:183-498
+(get_positional_encodings, CrossAttention, CrossBlock,
+LocalFeatureTransformerRegressor).
+
+TPU re-design notes:
+- the 6-dim epipolar basis is computed vectorized from the normalized
+  intrinsics (the reference runs a python double loop over all 4800 grid
+  cells at every forward — transformer.py:236-240);
+- the dual-softmax bilinear form V^T (softmax_r(S) * softmax_c(S)) V is
+  evaluated with a two-pass streaming scan over row blocks, so the
+  (N x N) attention matrix is never materialized in HBM (flash-attention
+  style; N=4800 would otherwise cost ~92MB per head pair);
+- the MoE gate matches the reference 1wt/2wt/9wt variants including the
+  scale_8pt translation rescaling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from far_tpu.models.constants import POSE_MEAN_6D, POSE_STD_6D
+from far_tpu.models.transformer import LocalFeatureTransformer
+from far_tpu.utils.config import RegressConfig
+
+
+@functools.lru_cache(maxsize=8)
+def epipolar_positional_basis(
+    h: int = 60,
+    w: int = 80,
+    fx: float = 517.0 / 9.0,
+    fy: float = 517.0 / 8.0,
+    cx: float = 40.0,
+    cy: float = 30.0,
+) -> np.ndarray:
+    """6-dim epipolar basis [y^2, x^2, xy, y, x, 1] per grid cell.
+
+    (x, y) are the K^-1-normalized coordinates of the coarse grid, built
+    exactly as the reference does (transformer.py:194-246) but closed
+    form: with principal point at the grid center the normalization
+    reduces to x = u / fx_norm, y = v / fy_norm for u, v in [-1, 1].
+
+    Returns (h*w, 6) float32, row-major (y-major) token order.
+    """
+    hpix, wpix = cy * 2.0, cx * 2.0
+    fx_norm = (fx / wpix) * 2.0
+    fy_norm = (fy / hpix) * 2.0
+
+    us = np.linspace(-1.0, 1.0, w, dtype=np.float32)
+    vs = np.linspace(-1.0, 1.0, h, dtype=np.float32)
+    x = np.tile(us[None, :], (h, 1)) / fx_norm   # (h, w)
+    y = np.tile(vs[:, None], (1, w)) / fy_norm
+
+    basis = np.stack(
+        [y * y, x * x, x * y, y, x, np.ones_like(x)], axis=-1
+    ).reshape(h * w, 6)
+    return basis.astype(np.float32)
+
+
+def _dual_softmax_bilinear(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    max_chunks: int = 8,
+) -> jnp.ndarray:
+    """F = sum_{n,m} A[n,m] v[n] (x) v[m], A = rowsoft(S)*colsoft(S).
+
+    S[n, m] = scale * <q[n], k[m]>. Streaming two-pass over row chunks.
+
+    Args:
+        q, k: (B, H, N, D); v: (B, H, N, Dv).
+    Returns:
+        (B, H, Dv, Dv) float32.
+    """
+    B, H, N, D = q.shape
+    Dv = v.shape[-1]
+    nc = max_chunks if N % max_chunks == 0 else 1
+    c = N // nc
+
+    qf = (q * scale).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    q_chunks = qf.reshape(B, H, nc, c, D).transpose(2, 0, 1, 3, 4)
+    v_chunks = vf.reshape(B, H, nc, c, Dv).transpose(2, 0, 1, 3, 4)
+
+    # pass 1: streaming logsumexp over rows (per column)
+    def p1(carry, qc):
+        cmax, csum = carry
+        s = jnp.einsum("bhcd,bhnd->bhcn", qc, kf)  # (B, H, c, N)
+        m = jnp.max(s, axis=2)
+        new_max = jnp.maximum(cmax, m)
+        csum = csum * jnp.exp(cmax - new_max) + jnp.sum(
+            jnp.exp(s - new_max[:, :, None, :]), axis=2
+        )
+        return (new_max, csum), None
+
+    init = (
+        jnp.full((B, H, N), -jnp.inf, jnp.float32),
+        jnp.zeros((B, H, N), jnp.float32),
+    )
+    (cmax, csum), _ = jax.lax.scan(p1, init, q_chunks)
+
+    # pass 2: accumulate the bilinear form
+    def p2(acc, inp):
+        qc, vc = inp
+        s = jnp.einsum("bhcd,bhnd->bhcn", qc, kf)
+        rmax = jnp.max(s, axis=3, keepdims=True)
+        rexp = jnp.exp(s - rmax)
+        rsum = jnp.sum(rexp, axis=3, keepdims=True)
+        A = (rexp / rsum) * (
+            jnp.exp(s - cmax[:, :, None, :]) / csum[:, :, None, :]
+        )  # (B, H, c, N)
+        w = jnp.einsum("bhcn,bhnv->bhcv", A, vf)      # (B, H, c, Dv)
+        return acc + jnp.einsum("bhcu,bhcv->bhuv", vc, w), None
+
+    acc0 = jnp.zeros((B, H, Dv, Dv), jnp.float32)
+    F, _ = jax.lax.scan(p2, acc0, (q_chunks, v_chunks))
+    return F
+
+
+class CrossAttentionEMM(nn.Module):
+    """Epipolar bilinear cross-attention producing 'fundamental' features.
+
+    Equivalent of crockwell/far: transformer.py:250-303 (CrossAttention).
+    """
+
+    dim: int
+    num_heads: int
+    grid_hw: Tuple[int, int] = (60, 80)
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray):
+        B, N, C = x1.shape
+        H = self.num_heads
+        D = C // H
+        scale = D ** -0.5
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")
+
+        def split(x):
+            t = qkv(x).reshape(B, N, 3, H, D).transpose(2, 0, 3, 1, 4)
+            return t[0], t[1], t[2]  # each (B, H, N, D)
+
+        q1, k1, v1 = split(x1)
+        q2, k2, v2 = split(x2)
+
+        pos = jnp.asarray(
+            epipolar_positional_basis(*self.grid_hw), self.dtype
+        )  # (N, 6)
+        pos = jnp.broadcast_to(pos[None, None], (B, H, N, 6))
+        v1p = jnp.concatenate([v1, pos], axis=-1)  # (B, H, N, D+6)
+        v2p = jnp.concatenate([v2, pos], axis=-1)
+
+        # attn_1 rows are image-2 queries over image-1 keys (and v1);
+        # attn_2 the reverse — reference wiring at transformer.py:275-292.
+        f1 = _dual_softmax_bilinear(q2, k1, v1p, scale)  # (B, H, D+6, D+6)
+        f2 = _dual_softmax_bilinear(q1, k2, v2p, scale)
+
+        Dv = D + 6
+        proj_fundamental = nn.Dense(self.dim, dtype=self.dtype,
+                                    name="proj_fundamental")
+
+        def proj(fh):
+            # (B, H, Dv, Dv) -> (B, H*Dv, Dv) -> (B, Dv, H*Dv) -> Dense
+            fh = fh.astype(self.dtype).reshape(B, H * Dv, Dv)
+            fh = jnp.swapaxes(fh, -1, -2)
+            return proj_fundamental(fh)  # (B, Dv, C)
+
+        # returned flipped, as in the reference ("x1 gets (q1 k2) v2")
+        return proj(f2), proj(f1)
+
+
+class CrossBlockEMM(nn.Module):
+    """Norm + EMM cross-attention + MLP residual (reference CrossBlock)."""
+
+    dim: int
+    num_heads: int
+    grid_hw: Tuple[int, int] = (60, 80)
+    use_pos_embedding: bool = False
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat0: jnp.ndarray, feat1: jnp.ndarray):
+        B, N, C = feat0.shape
+        if self.use_pos_embedding:
+            pe = self.param(
+                "pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, N, C),
+                jnp.float32,
+            ).astype(self.dtype)
+            feat0 = feat0 + pe
+            feat1 = feat1 + pe
+
+        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        f1, f2 = CrossAttentionEMM(
+            dim=self.dim, num_heads=self.num_heads, grid_hw=self.grid_hw,
+            dtype=self.dtype, name="cross_attn",
+        )(norm1(feat0), norm1(feat1))
+
+        fund = jnp.concatenate([f1, f2], axis=1)  # (B, 2*Dv, C)
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(fund)
+        y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
+        return fund + y  # (B, 2*Dv, C)
+
+
+class PoseRegressorEMM(nn.Module):
+    """LocalFeatureTransformerRegressor: EMM + encoder + MoE gating.
+
+    Equivalent of crockwell/far: transformer.py:350-498. Inputs are the
+    transformed coarse features of both images plus the solver-pose
+    summary; output is a normalized 9D pose and the gate weights.
+    """
+
+    cfg: RegressConfig
+    grid_hw: Tuple[int, int] = (60, 80)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feat0: jnp.ndarray,            # (B, N, C)
+        feat1: jnp.ndarray,
+        solver_pose_in: Optional[jnp.ndarray] = None,  # (B, 9 + extras)
+        inv_solver_pose_in: Optional[jnp.ndarray] = None,
+    ):
+        cfg = self.cfg
+        B, N, C = feat0.shape
+
+        if cfg.num_loftr_layers > 0:
+            feat0, feat1 = LocalFeatureTransformer(
+                d_model=cfg.d_model, nhead=cfg.nhead_stack,
+                layer_names=tuple(cfg.layer_names) * cfg.num_loftr_layers,
+                attention=cfg.attention, dtype=self.dtype, name="loftr_extra",
+            )(feat0, feat1)
+
+        x = CrossBlockEMM(
+            dim=cfg.d_model, num_heads=cfg.emm_heads, grid_hw=self.grid_hw,
+            use_pos_embedding=cfg.use_pos_embedding, dtype=self.dtype,
+            name="emm",
+        )(feat0, feat1)  # (B, 2*Dv, C)
+        x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-6, name="norm")(x)
+        features = x.reshape(B, -1)  # (B, 2*Dv*C) == reference H
+
+        hidden = cfg.hidden
+        pose_size = 9
+
+        if not cfg.use_simple_moe:
+            y = nn.Dense(hidden, dtype=self.dtype, name="pose_regressor_0")(features)
+            y = nn.relu(y)
+            y = nn.Dense(hidden, dtype=self.dtype, name="pose_regressor_1")(y)
+            y = nn.relu(y)
+            pose = nn.Dense(pose_size, dtype=self.dtype, name="pose_regressor_2")(y)
+            return pose.astype(jnp.float32), None, features
+
+        # --- simple MoE path (the FAR fusion) ---------------------------
+        enc = nn.Dense(hidden, dtype=self.dtype, name="encoder_0")(features)
+        enc = nn.relu(enc)
+        enc = nn.Dense(hidden, dtype=self.dtype, name="encoder_1")(enc)
+
+        reg = nn.Dense(hidden, dtype=self.dtype, name="pose_moe_0")(enc)
+        reg = nn.relu(reg)
+        pred_reg_9d = nn.Dense(pose_size, dtype=self.dtype,
+                               name="pose_moe_1")(reg).astype(jnp.float32)
+
+        assert solver_pose_in is not None, "MoE path needs the solver pose"
+        sp = solver_pose_in.astype(jnp.float32)  # (B, 9 + extras)
+        extras = sp.shape[-1] - pose_size
+
+        reg_t = pred_reg_9d[..., :3]
+        solver_t = sp[..., :3]
+        solver_rot = sp[..., 3:9]
+
+        if cfg.scale_8pt:
+            # rescale the (unit-norm) solver translation to the regressed
+            # magnitude, in unnormalized space (reference transformer.py:437-446)
+            mean_t, std_t = POSE_MEAN_6D[:3], POSE_STD_6D[:3]
+            solver_t_un = solver_t * std_t + mean_t
+            reg_t_un = reg_t * std_t + mean_t
+            norm_reg = jnp.linalg.norm(reg_t_un, axis=-1, keepdims=True)
+            norm_sol = jnp.clip(
+                jnp.linalg.norm(solver_t_un, axis=-1, keepdims=True), 1e-3, 100.0
+            )
+            solver_t = (solver_t_un * norm_reg / norm_sol - mean_t) / std_t
+
+        gate_in = jnp.concatenate([features.astype(jnp.float32),
+                                   pred_reg_9d, sp], axis=-1)
+        if cfg.use_1wt:
+            n_wt = 1
+        elif cfg.use_2wt:
+            n_wt = 2
+        else:
+            n_wt = pose_size
+        g = nn.Dense(hidden, dtype=self.dtype, name="moe_0")(gate_in)
+        g = nn.relu(g)
+        g = nn.Dense(hidden, dtype=self.dtype, name="moe_1")(g)
+        g = nn.relu(g)
+        gate = nn.sigmoid(
+            nn.Dense(n_wt, dtype=self.dtype, name="moe_2")(g)
+        ).astype(jnp.float32)
+
+        if cfg.use_2wt:
+            w_t = gate[..., 0:1]
+            w_r = gate[..., 1:2]
+        elif cfg.use_1wt:
+            w_t = w_r = gate[..., 0:1]
+        else:
+            w_t = gate[..., :3]
+            w_r = gate[..., 3:]
+
+        pred_t = w_t * reg_t + (1.0 - w_t) * solver_t
+        pred_r = w_r * pred_reg_9d[..., 3:] + (1.0 - w_r) * solver_rot
+        pose = jnp.concatenate([pred_t, pred_r], axis=-1)
+        del extras
+        return pose, gate, features

@@ -1,0 +1,128 @@
+"""Frozen-dataclass config tree.
+
+Mirrors the reference's yacs tree (crockwell/far:
+mp3d_loftr/src/config/default.py) but hashable/static so configs can be
+closed over by jit. Hierarchy: FARConfig{backbone, coarse, match, fine,
+regress, solver, loss, trainer}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    initial_dim: int = 128
+    block_dims: Tuple[int, ...] = (128, 196, 256)
+    resolution: Tuple[int, int] = (8, 2)  # (coarse, fine) strides
+    norm: str = "batch"  # 'batch' | 'group'
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionStackConfig:
+    d_model: int = 256
+    nhead: int = 8
+    layer_names: Tuple[str, ...] = ("self", "cross") * 4
+    attention: str = "linear"  # 'linear' | 'full'
+    temp_bug_fix: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    thr: float = 0.2
+    border_rm: int = 2
+    dsmax_temperature: float = 0.1
+    max_matches: int = 1024        # static top-k replacing dynamic filtering
+    train_pad_num_gt_min: int = 200
+    train_coarse_percent: float = 0.2
+    sparse_spvs: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class FineConfig:
+    d_model: int = 128
+    nhead: int = 8
+    layer_names: Tuple[str, ...] = ("self", "cross")
+    attention: str = "linear"
+    window_size: int = 5
+    concat_coarse_feat: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RegressConfig:
+    d_model: int = 256
+    nhead_stack: int = 8          # heads of the optional extra loftr layers
+    layer_names: Tuple[str, ...] = ("self", "cross")
+    attention: str = "linear"
+    num_loftr_layers: int = 0      # reference regress_loftr_layers
+    emm_heads: int = 4
+    use_pos_embedding: bool = False
+    use_simple_moe: bool = True
+    use_1wt: bool = False
+    use_2wt: bool = True
+    scale_8pt: bool = True
+    use_num_corres: bool = True    # append num matches to solver pose input
+    use_many_ransac_thr: bool = True  # append tight/ultra-tight counts
+    hidden: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    solver: str = "prior_ransac"   # 'ransac'|'prior_ransac'|'prior_ransac_noprior'|'none'
+    num_hypotheses: int = 2048
+    pixel_thr: float = 0.5
+    prior_inl_th: float = 3e-7
+    prior_lambda: float = 0.3
+    bias_sigma_sq: float = 0.1
+    fine_pred_steps: int = 2       # prior refinement rounds
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    coarse_type: str = "focal"
+    coarse_weight: float = 1.0
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    pos_weight: float = 1.0
+    neg_weight: float = 1.0
+    fine_type: str = "l2_with_std"
+    fine_weight: float = 1.0
+    fine_correct_thr: float = 1.0
+    rt_weight_rot: float = 1.0
+    rt_weight_tr: float = 1.0
+    use_l1_rt_loss: bool = True
+    scale_weight: float = 0.0
+    max_scale_loss: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class FARConfig:
+    """Top-level model + pipeline config for the LoFTR-FAR family."""
+
+    image_size: Tuple[int, int] = (480, 640)  # (H, W)
+    backbone: BackboneConfig = BackboneConfig()
+    coarse: AttentionStackConfig = AttentionStackConfig()
+    match: MatchConfig = MatchConfig()
+    fine: FineConfig = FineConfig()
+    regress: RegressConfig = RegressConfig()
+    solver: SolverOptions = SolverOptions()
+    loss: LossConfig = LossConfig()
+    regress_rt: bool = True
+    predict_translation_scale: bool = False
+    dtype: str = "float32"  # compute dtype: 'float32' | 'bfloat16'
+
+    @property
+    def coarse_hw(self) -> Tuple[int, int]:
+        s = self.backbone.resolution[0]
+        return (self.image_size[0] // s, self.image_size[1] // s)
+
+    @property
+    def fine_hw(self) -> Tuple[int, int]:
+        s = self.backbone.resolution[1]
+        return (self.image_size[0] // s, self.image_size[1] // s)
+
+
+def default_config() -> FARConfig:
+    return FARConfig()
