@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from far_tpu.geometry.transforms import to_homogeneous
@@ -65,10 +66,74 @@ def _smallest_eigvec_sym(M: jnp.ndarray) -> jnp.ndarray:
     return V[..., :, 0]
 
 
+def gauss_jordan_inverse(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched small-matrix inverse by unrolled Gauss-Jordan (no pivoting).
+
+    Intended for well-conditioned / ridge-regularized PSD systems where
+    pivoting is unnecessary. Everything is broadcastable elementwise math
+    — no XLA linalg primitive, which matters because batched tiny
+    LU/eigh/SVD are pathologically slow on TPU.
+
+    Args:
+        M: (..., n, n).
+    Returns:
+        (..., n, n) inverse.
+    """
+    n = M.shape[-1]
+    A = jnp.concatenate(
+        [M, jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)], axis=-1
+    )  # (..., n, 2n)
+    for k in range(n):
+        pivot_row = A[..., k : k + 1, :] / A[..., k : k + 1, k : k + 1]
+        A = A - A[..., :, k : k + 1] * pivot_row
+        A = A.at[..., k, :].set(pivot_row[..., 0, :])
+    return A[..., :, n:]
+
+
+def smallest_eigvec_power(M: jnp.ndarray, iters: int = 4,
+                          ridge: float = 1e-6) -> jnp.ndarray:
+    """Smallest eigenvector of a symmetric PSD matrix via inverse
+    iteration — no eigh/SVD.
+
+    Batched tiny eigendecompositions (the 32k 9x9 systems of the RANSAC
+    minimal solves) are catastrophically slow through the TPU linalg
+    path. Inverse iteration with a relative ridge converges at rate
+    (lambda_min + eps) / (lambda_2 + eps) — effectively one step for the
+    near-singular DLT normal matrices — and the Gauss-Jordan inverse is
+    pure vectorized arithmetic. Inaccuracy in the f32 inverse is benign:
+    inverse-iteration errors align with the target eigenvector.
+
+    Args:
+        M: (..., k, k) symmetric PSD.
+    Returns:
+        (..., k) unit eigenvector for the smallest eigenvalue.
+    """
+    k = M.shape[-1]
+    dtype = M.dtype
+    tr = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    eps = ridge * tr / k + 1e-30
+    Minv = gauss_jordan_inverse(M + eps * jnp.eye(k, dtype=dtype))
+
+    def matvec(A, x):
+        return jnp.einsum("...ij,...j->...i", A, x)
+
+    def normalize(x):
+        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-20)
+
+    # deterministic, non-axis-aligned init to avoid orthogonal starts
+    v = normalize(jnp.ones(M.shape[:-1], dtype)
+                  + 0.01 * jnp.arange(k, dtype=dtype))
+    for _ in range(iters):
+        v = normalize(matvec(Minv, v))
+    return v
+
+
 def run_8point(
     points1: jnp.ndarray,
     points2: jnp.ndarray,
     weights: jnp.ndarray | None = None,
+    impl: str = "eigh",
+    rank2_project: bool = True,
 ) -> jnp.ndarray:
     """Weighted normalized 8-point DLT -> rank-2 fundamental matrix.
 
@@ -80,6 +145,11 @@ def run_8point(
     Args:
         points1/points2: (..., N, 2), N >= 8.
         weights: (..., N) or None.
+        impl: 'eigh' (exact) or 'power' (shifted power iteration; the
+            TPU-fast path for huge hypothesis batches).
+        rank2_project: enforce rank 2 by SVD (skip on the TPU-fast path —
+            the residual third singular value of a near-consistent sample
+            is small and RANSAC scoring absorbs it).
     Returns:
         (..., 3, 3) fundamental matrices (unit Frobenius norm).
     """
@@ -98,13 +168,16 @@ def run_8point(
     else:
         Xw = X
     XtX = jnp.einsum("...ni,...nj->...ij", Xw, X)  # (..., 9, 9)
-    f = _smallest_eigvec_sym(XtX)
+    if impl == "power":
+        f = smallest_eigvec_power(XtX)
+    else:
+        f = _smallest_eigvec_sym(XtX)
     F = f.reshape(*f.shape[:-1], 3, 3)
 
-    # rank-2 projection
-    U, S, Vt = jnp.linalg.svd(F)
-    S2 = S.at[..., 2].set(0.0)
-    F = (U * S2[..., None, :]) @ Vt
+    if rank2_project:
+        U, S, Vt = jnp.linalg.svd(F)
+        S2 = S.at[..., 2].set(0.0)
+        F = (U * S2[..., None, :]) @ Vt
     # un-normalize
     F = jnp.swapaxes(T2, -1, -2) @ F @ T1
     # scale-normalize (unit Frobenius) for stable downstream thresholds
@@ -116,17 +189,88 @@ def run_8point_essential(
     points1: jnp.ndarray,
     points2: jnp.ndarray,
     weights: jnp.ndarray | None = None,
+    impl: str = "eigh",
 ) -> jnp.ndarray:
     """Weighted 8-point on normalized camera coords -> essential matrix.
 
-    Projects the DLT solution onto the essential manifold
-    (singular values (1, 1, 0)), so ||E||_F = sqrt(2) exactly and the
-    decomposition E = [t]_x R holds with unit-norm t.
+    With impl='eigh' the DLT solution is projected onto the essential
+    manifold (singular values (1, 1, 0)), so ||E||_F = sqrt(2) exactly
+    and E = [t]_x R holds with unit t. With impl='power' (the TPU fast
+    path for large hypothesis batches) the SVD projection is skipped:
+    the matrix is Frobenius-normalized to sqrt(2) and left near- rather
+    than exactly-essential — downstream consumers use
+    fast_motion_from_essential which tolerates that.
     """
+    if impl == "power":
+        F = run_8point(points1, points2, weights, impl="power",
+                       rank2_project=False)
+        return F * jnp.sqrt(jnp.asarray(2.0, F.dtype))
     F = run_8point(points1, points2, weights)
     U, _, Vt = jnp.linalg.svd(F)
     S = jnp.array([1.0, 1.0, 0.0], F.dtype)
     return (U * S) @ Vt  # U @ diag(1,1,0) @ Vt
+
+
+def fast_decompose_essential(E: jnp.ndarray):
+    """SVD-free essential decomposition via the adjugate identity.
+
+    For an exact essential matrix E = [t]_x R with unit t:
+        adj(E)^T = t t^T R
+        [t]_x E  = (t t^T - I) R
+    so  R1 = adj(E)^T - [t]_x E  and the twisted pair
+        R2 = adj(E)^T + [t]_x E   (from E = [-t]_x R2).
+    t is the unit null vector of E E^T, found by shifted power iteration
+    (3x3, no SVD). For near-essential inputs (the power-iteration 8-point
+    hypotheses) the returned matrices are orthonormalized via the 6D
+    Gram-Schmidt map.
+
+    Returns:
+        (R1, R2, t) with shapes (..., 3, 3), (..., 3, 3), (..., 3).
+    """
+    from far_tpu.geometry.epipolar import cross_product_matrix
+    from far_tpu.geometry.rotations import rotation_6d_to_matrix, matrix_to_rotation_6d
+
+    # normalize scale so the adjugate identity holds (||E||_F = sqrt(2))
+    En = E * (jnp.sqrt(jnp.asarray(2.0, E.dtype))
+              / (jnp.linalg.norm(E, axis=(-2, -1), keepdims=True) + _EPS))
+    EEt = En @ jnp.swapaxes(En, -1, -2)
+    t = smallest_eigvec_power(EEt, iters=3)
+
+    # adjugate of a 3x3: adj(A)[i,j] = cof(A)[j,i]
+    a = En
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+    c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    cof = jnp.stack([c00, c01, c02, c10, c11, c12, c20, c21, c22], axis=-1)
+    adjT = cof.reshape(*a.shape[:-2], 3, 3)  # adj(E)^T == cof(E)
+
+    TxE = cross_product_matrix(t) @ En
+    R1 = adjT - TxE
+    R2 = adjT + TxE
+
+    def orthonormalize(R):
+        return rotation_6d_to_matrix(matrix_to_rotation_6d(R))
+
+    return orthonormalize(R1), orthonormalize(R2), t
+
+
+def fast_motion_from_essential(E: jnp.ndarray):
+    """All four candidate motions from E, SVD-free (see
+    fast_decompose_essential).
+
+    Returns:
+        Rs: (..., 4, 3, 3), ts: (..., 4, 3).
+    """
+    R1, R2, t = fast_decompose_essential(E)
+    Rs = jnp.stack([R1, R1, R2, R2], axis=-3)
+    ts = jnp.stack([t, -t, t, -t], axis=-2)
+    return Rs, ts
 
 
 def two_view_depths(
@@ -200,6 +344,7 @@ def recover_pose_from_essential(
     x2: jnp.ndarray,
     weights: jnp.ndarray | None = None,
     distance_thresh: float = 1e9,
+    method: str = "svd",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """E -> best (R, t) by the cheirality vote (recoverPose equivalent).
 
@@ -214,7 +359,10 @@ def recover_pose_from_essential(
     """
     from far_tpu.geometry.epipolar import motion_from_essential
 
-    Rs, ts = motion_from_essential(E)  # (..., 4, 3, 3), (..., 4, 3)
+    if method == "fast":
+        Rs, ts = fast_motion_from_essential(E)
+    else:
+        Rs, ts = motion_from_essential(E)  # (..., 4, 3, 3), (..., 4, 3)
     counts, good = cheirality_counts(Rs, ts, x1, x2, weights, distance_thresh)
     best = jnp.argmax(counts, axis=-1)
     take = lambda a, idx: jnp.take_along_axis(

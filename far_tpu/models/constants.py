@@ -6,20 +6,26 @@ dataset-level constants computed on the Matterport val split by the
 reference (crockwell/far: mp3d_loftr/src/losses/loftr_loss.py:7-8).
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 # order: (t_x, t_y, t_z, r_00, r_01, r_02, r_10, r_11, r_12)
-POSE_MEAN_6D = jnp.asarray(
+#
+# NOTE: kept as numpy (host) constants on purpose. Captured *device*
+# arrays become hidden per-call arguments of every jitted function that
+# closes over them, which costs a host round-trip per call on remote TPU
+# backends; numpy constants fold into the executable as literals.
+POSE_MEAN_6D = np.asarray(
     [-0.34898765, 0.17085525, -0.87944315,
      0.50275223, 0.03533648, -0.18179045,
      -0.03533648, 0.98189617, 0.09313615],
-    jnp.float32,
+    np.float32,
 )
-POSE_STD_6D = jnp.asarray(
+POSE_STD_6D = np.asarray(
     [1.94014405, 0.36770130, 1.88317520,
      0.51837117, 0.12717603, 0.65426397,
      0.12717603, 0.0188729, 0.09709263],
-    jnp.float32,
+    np.float32,
 )
 
 # 8pt-ViT per-dataset constants (crockwell/far:

@@ -70,61 +70,16 @@ def _dual_softmax_bilinear(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    max_chunks: int = 8,
 ) -> jnp.ndarray:
     """F = sum_{n,m} A[n,m] v[n] (x) v[m], A = rowsoft(S)*colsoft(S).
 
-    S[n, m] = scale * <q[n], k[m]>. Streaming two-pass over row chunks.
-
-    Args:
-        q, k: (B, H, N, D); v: (B, H, N, Dv).
-    Returns:
-        (B, H, Dv, Dv) float32.
+    Dispatches to the fused Pallas kernel on TPU (far_tpu.ops), which
+    streams S in row blocks and never materializes the (N, N) attention;
+    falls back to a materializing jnp version for small N / CPU.
     """
-    B, H, N, D = q.shape
-    Dv = v.shape[-1]
-    nc = max_chunks if N % max_chunks == 0 else 1
-    c = N // nc
+    from far_tpu.ops.bilinear_attention import bilinear_dual_softmax
 
-    qf = (q * scale).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    q_chunks = qf.reshape(B, H, nc, c, D).transpose(2, 0, 1, 3, 4)
-    v_chunks = vf.reshape(B, H, nc, c, Dv).transpose(2, 0, 1, 3, 4)
-
-    # pass 1: streaming logsumexp over rows (per column)
-    def p1(carry, qc):
-        cmax, csum = carry
-        s = jnp.einsum("bhcd,bhnd->bhcn", qc, kf)  # (B, H, c, N)
-        m = jnp.max(s, axis=2)
-        new_max = jnp.maximum(cmax, m)
-        csum = csum * jnp.exp(cmax - new_max) + jnp.sum(
-            jnp.exp(s - new_max[:, :, None, :]), axis=2
-        )
-        return (new_max, csum), None
-
-    init = (
-        jnp.full((B, H, N), -jnp.inf, jnp.float32),
-        jnp.zeros((B, H, N), jnp.float32),
-    )
-    (cmax, csum), _ = jax.lax.scan(p1, init, q_chunks)
-
-    # pass 2: accumulate the bilinear form
-    def p2(acc, inp):
-        qc, vc = inp
-        s = jnp.einsum("bhcd,bhnd->bhcn", qc, kf)
-        rmax = jnp.max(s, axis=3, keepdims=True)
-        rexp = jnp.exp(s - rmax)
-        rsum = jnp.sum(rexp, axis=3, keepdims=True)
-        A = (rexp / rsum) * (
-            jnp.exp(s - cmax[:, :, None, :]) / csum[:, :, None, :]
-        )  # (B, H, c, N)
-        w = jnp.einsum("bhcn,bhnv->bhcv", A, vf)      # (B, H, c, Dv)
-        return acc + jnp.einsum("bhcu,bhcv->bhuv", vc, w), None
-
-    acc0 = jnp.zeros((B, H, Dv, Dv), jnp.float32)
-    F, _ = jax.lax.scan(p2, acc0, (q_chunks, v_chunks))
-    return F
+    return bilinear_dual_softmax(q, k, v, scale)
 
 
 class CrossAttentionEMM(nn.Module):

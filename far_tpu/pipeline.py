@@ -148,5 +148,8 @@ def init_model(
         K0=jnp.tile(jnp.eye(3)[None], (batch_size, 1, 1)),
         K1=jnp.tile(jnp.eye(3)[None], (batch_size, 1, 1)),
     )
-    variables = model.init(jax.random.PRNGKey(seed), batch, train=False)
+    # jit the init: eager linen init dispatches thousands of tiny ops,
+    # which is very slow on remote TPU backends (one RPC per op).
+    init_fn = jax.jit(functools.partial(model.init, train=False))
+    variables = init_fn(jax.random.PRNGKey(seed), batch)
     return model, variables

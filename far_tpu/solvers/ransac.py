@@ -35,7 +35,11 @@ from far_tpu.geometry.epipolar import (
     sampson_epipolar_distance,
     symmetrical_epipolar_distance,
 )
-from far_tpu.geometry.solvers import recover_pose_from_essential, run_8point_essential
+from far_tpu.geometry.solvers import (
+    fast_decompose_essential,
+    recover_pose_from_essential,
+    run_8point_essential,
+)
 from far_tpu.solvers.types import PoseEstimate, PriorParams
 
 
@@ -53,6 +57,10 @@ class RansacConfig:
     distance_thresh: float = 1e9
     error_fn: str = "sampson"    # or "symmetric"
     min_valid: int = 8           # below this the solve is flagged failed
+    linalg: str = "fast"         # 'fast' (SVD-free power-iteration paths,
+                                 # the TPU production setting) or 'exact'
+    polish: bool = True          # final weighted LS re-fit on the winning
+                                 # inliers (exact, per-pair batch only)
 
 
 def _sample_indices(
@@ -78,7 +86,7 @@ def _epipolar_error(cfg: RansacConfig, p1, p2, E):
 
 
 def _prior_transport_error(
-    E: jnp.ndarray, prior: PriorParams
+    E: jnp.ndarray, prior: PriorParams, linalg: str = "fast"
 ) -> jnp.ndarray:
     """Min point-cloud transport error between hypothesis poses and prior.
 
@@ -91,7 +99,10 @@ def _prior_transport_error(
     Returns:
         (B, H) transport errors.
     """
-    R1, R2, t = decompose_essential_matrix(E)  # (B, H, 3, 3) x2, (B, H, 3)
+    if linalg == "fast":
+        R1, R2, t = fast_decompose_essential(E)
+    else:
+        R1, R2, t = decompose_essential_matrix(E)  # (B, H, 3, 3) x2
     prior_R = prior.rt[..., :3, :3]
     prior_t = prior.rt[..., :3, 3]
     prior_t = prior_t / (jnp.linalg.norm(prior_t, axis=-1, keepdims=True) + 1e-8)
@@ -150,7 +161,8 @@ def prior_ransac(
     take = lambda pts: jnp.take_along_axis(pts[:, None], idx[..., None], axis=2)
     kp1_s = take(kp1)  # (B, H, S, 2)
     kp2_s = take(kp2)
-    E = run_8point_essential(kp1_s, kp2_s)  # (B, H, 3, 3)
+    impl = "power" if cfg.linalg == "fast" else "eigh"
+    E = run_8point_essential(kp1_s, kp2_s, impl=impl)  # (B, H, 3, 3)
     finite = jnp.all(jnp.isfinite(E), axis=(-1, -2))  # (B, H)
 
     # ---- verification -------------------------------------------------------
@@ -160,7 +172,7 @@ def prior_ransac(
     score = jnp.sum(inl.astype(dtype), axis=-1)  # (B, H)
 
     if prior is not None and cfg.use_prior_scoring:
-        perr = _prior_transport_error(E, prior)
+        perr = _prior_transport_error(E, prior, cfg.linalg)
         score = score - perr ** 2 / cfg.prior_lambda
 
     score = jnp.where(finite, score, -jnp.inf)
@@ -173,6 +185,25 @@ def prior_ransac(
     err_best = gather_h(errs)       # (B, N)
     inl_best = gather_h(inl)        # (B, N)
 
+    # ---- polish: weighted LS re-fit over the winning inliers --------------
+    # The 8-point-from-8 hypotheses (power-iteration, unprojected) are
+    # noisier than the reference's Nister 5-point; one exact LS fit over
+    # all inliers recovers the accuracy at per-pair (not per-hypothesis)
+    # cost. Kept only where it does not lose inliers.
+    if cfg.polish:
+        w_inl = inl_best.astype(dtype)
+        enough = jnp.sum(w_inl, -1, keepdims=True) >= 8
+        w_safe = jnp.where(enough, w_inl, validf)
+        E_pol = run_8point_essential(kp1, kp2, weights=w_safe, impl="eigh")
+        errs_pol = _epipolar_error(cfg, kp1, kp2, E_pol)
+        thr_pair = cfg.inl_th if inl_th is None else inl_th[:, None]
+        inl_pol = (errs_pol <= thr_pair) & valid
+        better = (jnp.sum(inl_pol.astype(dtype), -1) >= jnp.sum(w_inl, -1)) \
+            & jnp.all(jnp.isfinite(E_pol), (-1, -2))
+        E_best = jnp.where(better[:, None, None], E_pol, E_best)
+        err_best = jnp.where(better[:, None], errs_pol, err_best)
+        inl_best = jnp.where(better[:, None], inl_pol, inl_best)
+
     thr_b = thr if inl_th is None else inl_th[:, None]
     num_inl = jnp.sum(inl_best.astype(dtype), axis=-1)
     num_tight = jnp.sum(((err_best <= thr_b / 10.0) & valid).astype(dtype), -1)
@@ -182,6 +213,7 @@ def prior_ransac(
     R, t, _, _ = recover_pose_from_essential(
         E_best, kp1, kp2, weights=inl_best.astype(dtype),
         distance_thresh=cfg.distance_thresh,
+        method="fast" if cfg.linalg == "fast" else "svd",
     )
 
     success = jnp.sum(validf, axis=-1) >= cfg.min_valid

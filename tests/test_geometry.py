@@ -162,6 +162,38 @@ class TestSolvers:
         )
         assert float(geodesic_distance(Rr[0], jnp.asarray(R, jnp.float32))) < 1e-2
 
+    def test_fast_decompose_matches_svd(self, rng):
+        from far_tpu.geometry.solvers import fast_decompose_essential
+
+        for i in range(4):
+            R, t, _, _, _ = synthetic_pair(rng)
+            tn = t / np.linalg.norm(t)
+            E = essential_from_Rt(jnp.asarray(R, jnp.float32), jnp.asarray(tn, jnp.float32))
+            R1f, R2f, tf = fast_decompose_essential(E[None])
+            R1s, R2s, ts = decompose_essential_matrix(E[None])
+            # t up to sign
+            assert min(
+                float(jnp.linalg.norm(tf[0] - ts[0])),
+                float(jnp.linalg.norm(tf[0] + ts[0])),
+            ) < 1e-3
+            # rotation pair matches up to ordering
+            errs = [
+                float(geodesic_distance(Ra[0], Rb[0]))
+                for Ra in (R1f, R2f) for Rb in (R1s, R2s)
+            ]
+            assert sorted(errs)[0] < 1e-2 and sorted(errs)[1] < 1e-2
+
+    def test_power_iteration_8point(self, rng):
+        """'power' impl recovers the pose as well as 'eigh' on clean data."""
+        R, t, _, x1, x2 = synthetic_pair(rng, n_pts=100)
+        E = run_8point_essential(
+            jnp.asarray(x1)[None], jnp.asarray(x2)[None], impl="power"
+        )
+        Rr, tr, _, _ = recover_pose_from_essential(
+            E, jnp.asarray(x1)[None], jnp.asarray(x2)[None], method="fast"
+        )
+        assert float(geodesic_distance(Rr[0], jnp.asarray(R, jnp.float32))) < 2e-2
+
     def test_two_view_depths(self, rng):
         from far_tpu.geometry.solvers import two_view_depths
 
