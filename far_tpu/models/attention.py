@@ -46,6 +46,17 @@ def linear_attention(
 
     v_length = v.shape[1]
     v = v / v_length  # matches reference fp16 guard; harmless in f32/bf16
+
+    if q.shape[1] <= 32 and k.shape[1] <= 32:
+        # tiny-window path (fine-level 5x5 windows): the per-(batch, head)
+        # matmuls are far below MXU tile size, so express the contractions
+        # as broadcast multiply-reduce on the VPU instead.
+        KV = jnp.sum(K[..., :, None] * v[..., None, :], axis=1)  # (n,h,d,dv)
+        Ksum = jnp.sum(K, axis=1)                                # (n,h,d)
+        Z = 1.0 / (jnp.sum(Q * Ksum[:, None], axis=-1) + eps)    # (n,l,h)
+        out = jnp.sum(Q[..., None] * KV[:, None], axis=-2)       # (n,l,h,dv)
+        return out * Z[..., None] * v_length
+
     KV = jnp.einsum("nshd,nshv->nhdv", K, v)
     Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K.sum(axis=1)) + eps)
     out = jnp.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * v_length

@@ -146,10 +146,17 @@ class FARLoFTR(nn.Module):
 
         t0, t1 = self.loftr_coarse(t0, t1)
 
-        i_ids, j_ids, mconf, valid, mkpts0, mkpts1, conf = coarse_match(
+        # the dense confidence matrix is only materialized for the
+        # training loss; at inference the matching kernel streams it
+        res = coarse_match(
             t0, t1, (hc, wc), (hc, wc), float(coarse_stride), cfg.match,
-            scale0=batch.scale0, scale1=batch.scale1, return_conf=True,
+            scale0=batch.scale0, scale1=batch.scale1, return_conf=train,
         )
+        if train:
+            i_ids, j_ids, mconf, valid, mkpts0, mkpts1, conf = res
+        else:
+            i_ids, j_ids, mconf, valid, mkpts0, mkpts1 = res
+            conf = None
 
         # fine refinement
         f0w, f1w = self.fine_preprocess(

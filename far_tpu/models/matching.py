@@ -93,6 +93,52 @@ def ids_to_coords(ids: jnp.ndarray, w: int, scale: float,
     return pts
 
 
+def select_topk_matches_streamed(
+    feat0: jnp.ndarray,
+    feat1: jnp.ndarray,
+    hw0: Tuple[int, int],
+    hw1: Tuple[int, int],
+    cfg: MatchConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static-K match selection without materializing the conf matrix.
+
+    Uses the fused Pallas reduction kernel (far_tpu.ops.matching_kernel)
+    to get per-row best (value, argmax) and per-column max of the
+    dual-softmax confidences; mutual-NN reduces to
+    row_val[i] == col_max[row_idx[i]] on the kernel's own values.
+    """
+    from far_tpu.ops.matching_kernel import dual_softmax_rowcol
+
+    B, L, C = feat0.shape
+    h0, w0 = hw0
+    h1, w1 = hw1
+    scale = jnp.float32(1.0 / C ** 0.5)
+    f0 = feat0.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+    f1 = feat1.astype(jnp.bfloat16) * scale.astype(jnp.bfloat16)
+    row_val, row_idx, col_max = dual_softmax_rowcol(
+        f0, f1, 1.0 / cfg.dsmax_temperature
+    )
+
+    bm0 = border_mask(h0, w0, cfg.border_rm)
+    bm1 = border_mask(h1, w1, cfg.border_rm)
+    cm_at = jnp.take_along_axis(col_max, row_idx, axis=1)
+    bm1_at = jnp.take_along_axis(
+        jnp.tile(bm1[None], (B, 1)), row_idx, axis=1
+    )
+    ok = (
+        (row_val >= cm_at)
+        & (row_val > cfg.thr)
+        & bm0[None, :]
+        & bm1_at
+    )
+    score = jnp.where(ok, row_val, 0.0)
+    k = min(cfg.max_matches, L)
+    mconf, i_ids = jax.lax.top_k(score, k)
+    j_sel = jnp.take_along_axis(row_idx, i_ids, axis=1)
+    valid = mconf > 0.0
+    return i_ids.astype(jnp.int32), j_sel, mconf, valid
+
+
 def coarse_match(
     feat0: jnp.ndarray,
     feat1: jnp.ndarray,
@@ -115,10 +161,18 @@ def coarse_match(
     Returns:
         (i_ids, j_ids, mconf, valid, mkpts0, mkpts1[, conf])
     """
-    conf = dual_softmax_confidence(
-        feat0, feat1, cfg.dsmax_temperature, mask0, mask1
-    )
-    i_ids, j_ids, mconf, valid = select_topk_matches(conf, hw0, hw1, cfg)
+    if return_conf or mask0 is not None:
+        # dense path: the (B, L, S) matrix is needed (training loss /
+        # padded-mask handling)
+        conf = dual_softmax_confidence(
+            feat0, feat1, cfg.dsmax_temperature, mask0, mask1
+        )
+        i_ids, j_ids, mconf, valid = select_topk_matches(conf, hw0, hw1, cfg)
+    else:
+        conf = None
+        i_ids, j_ids, mconf, valid = select_topk_matches_streamed(
+            feat0, feat1, hw0, hw1, cfg
+        )
     mkpts0 = ids_to_coords(i_ids, hw0[1], coarse_scale, scale0)
     mkpts1 = ids_to_coords(j_ids, hw1[1], coarse_scale, scale1)
     mkpts0 = mkpts0 * valid[..., None]

@@ -61,7 +61,12 @@ class TestMatcher:
         assert out.feat_c0.shape == (2, hc * wc, cfg.coarse.d_model)
         assert out.matches.i_ids.shape == (2, K)
         assert out.matches.mkpts0_f.shape == (2, K, 2)
-        assert out.conf_matrix.shape == (2, hc * wc, hc * wc)
+        assert out.conf_matrix is None  # only materialized for training
+        out_t, _ = model.apply(
+            variables, batch, train=True, method="match",
+            mutable=["batch_stats"],
+        )
+        assert out_t.conf_matrix.shape == (2, hc * wc, hc * wc)
         # kpts within image bounds
         assert float(out.matches.mkpts0_f.max()) <= cfg.image_size[1]
         assert np.isfinite(np.asarray(out.matches.expec_f)).all()
