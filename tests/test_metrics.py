@@ -1,0 +1,235 @@
+"""Metric property tests.
+
+Ports the reference's only first-party pytest suite 1:1
+(crockwell/far: mapfree_6dreg/benchmark/test_metrics.py): translation
+invariances, rotation error vs axis-angle GT across dtypes and tiny
+angles, reprojection identity, projection — plus tests for the
+aggregation tables and the submission-scorer round trip.
+"""
+
+import io
+import zipfile
+
+import numpy as np
+import pytest
+
+from far_tpu.eval.mapfree_benchmark import (
+    VARIANT_ANGLE_SIN,
+    aggregate_results,
+    frame_metrics,
+    load_poses,
+    precision_recall,
+    project,
+    quat_angle_error,
+    quat_multiply,
+    quat_to_matrix,
+    reprojection_error,
+)
+from far_tpu.eval.metrics import (
+    aggregate_metrics,
+    aggregate_metrics_interiornet_streetlearn,
+    error_auc,
+    pose_error,
+    a_metrics,
+    relative_pose_error,
+)
+
+rng = np.random.default_rng(7)
+
+
+def random_quat():
+    q = rng.normal(size=4)
+    return q / np.linalg.norm(q)
+
+
+def axangle2quat(axis, theta):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(theta / 2)], np.sin(theta / 2) * axis])
+
+
+def rotate_vector(v, q):
+    return quat_to_matrix(q) @ np.asarray(v, np.float64)
+
+
+class TestMapfreeMetricProperties:
+    @pytest.mark.parametrize("run", range(20))
+    def test_t_err_tinvariance(self, run):
+        """Translation error equals the norm of the displacement."""
+        t0 = rng.normal(5, 10, 3)
+        disp = rng.normal(5, 10, 3)
+        m = frame_metrics(random_quat(), t0, random_quat(), t0 + disp,
+                          0.0, np.eye(3), 1, 1)
+        assert np.isclose(m["trans_err"], np.linalg.norm(disp))
+
+    @pytest.mark.parametrize("run", range(20))
+    def test_trans_err_rinvariance(self, run):
+        """Translation error is invariant to a common rotation."""
+        t0 = rng.normal(5, 10, 3)
+        t1 = rng.normal(5, 10, 3)
+        q = random_quat()
+        e0 = np.linalg.norm(t1 - t0)
+        e1 = np.linalg.norm(rotate_vector(t1, q) - rotate_vector(t0, q))
+        assert np.isclose(e0, e1)
+
+    @pytest.mark.parametrize("dtype", (np.float64, np.float32))
+    @pytest.mark.parametrize("run", range(20))
+    def test_rot_err_raxis(self, run, dtype):
+        """Rotation error recovers a known axis-angle perturbation."""
+        q = random_quat()
+        axis = rng.uniform(-1, 1, 3)
+        angle = rng.uniform(-np.pi, np.pi)
+        qres = axangle2quat(axis, angle)
+        err = quat_angle_error(
+            label=quat_multiply(q, qres).astype(dtype), pred=q.astype(dtype)
+        )
+        assert err >= 0.0
+        atol = 1e-8 if dtype == np.float64 else 1e-4
+        assert np.isclose(err, abs(np.degrees(angle)), rtol=1e-4, atol=atol)
+
+    @pytest.mark.parametrize("run", range(20))
+    def test_r_err_mat(self, run):
+        """Quaternion angle error agrees with the matrix geodesic."""
+        q0, q1 = random_quat(), random_quat()
+        err = quat_angle_error(label=q0, pred=q1)
+        R0, R1 = quat_to_matrix(q0), quat_to_matrix(q1)
+        cos = np.clip((np.trace(R1 @ R0.T) - 1) / 2, -1, 1)
+        assert np.isclose(err, np.degrees(np.arccos(cos)), atol=1e-5)
+
+    def test_reproj_error_identity(self):
+        q = random_quat()
+        t = rng.normal(0, 10, 3)
+        assert np.isclose(
+            reprojection_error(q, t, q, t, np.eye(3), 1, 1), 0.0)
+
+    @pytest.mark.parametrize("run", range(5))
+    def test_r_err_small(self, run):
+        """'sin' variant stays accurate down to 1e-9 rad differences."""
+        for scale in np.logspace(-1, -9, 9):
+            q = random_quat()
+            angle = rng.uniform(-np.pi, np.pi) * scale
+            qres = axangle2quat(rng.uniform(-1, 1, 3), angle)
+            err = quat_angle_error(
+                label=quat_multiply(q, qres), pred=q,
+                variant=VARIANT_ANGLE_SIN)
+            tol = 0.1 * scale
+            assert np.isclose(err, abs(np.degrees(angle)), rtol=tol, atol=tol)
+
+
+def test_projection():
+    xyz = np.array([[10, 20, 30], [10, 30, 50], [-20, -15, 5],
+                    [-20, -50, 10]], np.float32)
+    K = np.eye(3)
+    uv = np.array([[1 / 3, 2 / 3], [1 / 5, 3 / 5], [-4, -3], [-2, -5]],
+                  np.float32)
+    assert np.allclose(uv, project(xyz, K))
+    uv_c = np.array([[1 / 3, 2 / 3], [1 / 5, 3 / 5], [0, 0], [0, 0]],
+                    np.float32)
+    assert np.allclose(uv_c, project(xyz, K, img_size=(5, 5)))
+
+
+class TestAggregation:
+    def test_error_auc_perfect(self):
+        aucs = error_auc([0.0] * 100)
+        assert np.isclose(aucs["auc@5"], 1.0, atol=0.02)
+
+    def test_error_auc_monotone(self):
+        good = error_auc(np.linspace(0, 4, 100))
+        bad = error_auc(np.linspace(0, 40, 100))
+        assert good["auc@5"] > bad["auc@5"]
+
+    def test_relative_pose_error_sign_ambiguity(self):
+        T = np.eye(4)
+        T[:3, 3] = [1, 0, 0]
+        t_err, r_err, _ = relative_pose_error(T, np.eye(3), np.array([-1.0, 0, 0]))
+        assert np.isclose(t_err, 0.0, atol=1e-4)  # +-t identical
+        assert np.isclose(r_err, 0.0)
+
+    def test_aggregate_metrics_dedup(self):
+        m = {
+            "identifiers": ["a", "b", "a"],
+            "R_errs": [1.0, 2.0, 50.0],
+            "t_errs": [1.0, 2.0, 50.0],
+            "t_errs_abs": [0.1, 0.2, 5.0],
+            "successful_fits": [1, 1, 0],
+            "epi_errs": [np.array([1e-5]), np.array([1e-5]), np.array([1.0])],
+        }
+        out = aggregate_metrics(m)
+        assert out["dset size"] == 2
+        # reference dedup keeps the LAST occurrence of each identifier
+        # (OrderedDict comprehension overwrite) -> entries 2 and 1
+        assert out["rot mean err"] == 26.0
+        assert out["pct successful fits"] == 50.0
+
+    def test_aggregate_interiornet_split(self):
+        def rotz(deg):
+            a = np.radians(deg)
+            return np.array([[np.cos(a), -np.sin(a), 0],
+                             [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+
+        m = {
+            "identifiers": ["a", "b"],
+            "gt_R": [rotz(10), rotz(60)],   # large / small overlap
+            "pred_R": [rotz(12), rotz(75)],
+            "successful_fits": [1, 1],
+            "epi_errs": [np.array([1e-5]), np.array([1e-5])],
+        }
+        out = aggregate_metrics_interiornet_streetlearn(m)
+        assert np.isclose(out["large overlap, rot mean err"], 2.0, atol=0.01)
+        assert np.isclose(out["small overlap, rot mean err"], 15.0, atol=0.01)
+
+    def test_pose_error_and_a_metrics(self):
+        R = np.tile(np.eye(3)[None], (2, 1, 1))
+        t_gt = np.array([[1.0, 0, 0], [0, 2.0, 0]])
+        t_est = np.array([[1.4, 0, 0], [0, 2.0, 0]])
+        out = pose_error(R, t_gt, R, t_est)
+        assert np.allclose(out["R_err"], 0.0, atol=1e-4)
+        assert np.allclose(out["t_err_ang"], 0.0, atol=1e-3)
+        am = a_metrics(out["t_err_scale"])
+        assert am["a1"] == 0.5 and am["a2"] == 1.0
+
+
+class TestPrecisionRecall:
+    def test_perfect_predictions(self):
+        prec, rec, ap = precision_recall(
+            inliers=np.arange(10), tp=np.ones(10, bool), failures=0)
+        assert np.isclose(ap, 1.0)
+
+    def test_failures_reduce_recall(self):
+        _, _, ap0 = precision_recall(np.arange(10), np.ones(10, bool), 0)
+        _, _, ap1 = precision_recall(np.arange(10), np.ones(10, bool), 10)
+        assert ap1 < ap0
+
+
+class TestSubmissionRoundTrip:
+    def test_score_perfect_submission(self, tmp_path):
+        """Synthetic scene + identical submission -> zero errors, P=1."""
+        from far_tpu.eval.mapfree_benchmark import compute_scene_metrics
+        from far_tpu.eval.submission import SubmissionWriter
+
+        scene = "s00000"
+        sdir = tmp_path / scene
+        sdir.mkdir()
+        n = 10
+        with (sdir / "intrinsics.txt").open("w") as f:
+            for i in range(n):
+                f.write(f"seq1/frame_{i:05d}.jpg 100 100 50 50 100 100\n")
+        writer = SubmissionWriter()
+        with (sdir / "poses.txt").open("w") as f:
+            for i in range(n):
+                q = random_quat()
+                t = rng.normal(0, 1, 3)
+                vals = " ".join(f"{v:.6f}" for v in (*q, *t))
+                f.write(f"seq1/frame_{i:05d}.jpg {vals}\n")
+                writer.add(scene, f"seq1/frame_{i:05d}.jpg", q, t, 100.0)
+        sub = tmp_path / "submission.zip"
+        writer.write(sub)
+
+        zf = zipfile.ZipFile(sub)
+        results, failures = compute_scene_metrics(tmp_path, zf, scene,
+                                                  subsample=1)
+        assert failures == 0
+        out = aggregate_results({scene: results}, failures)
+        assert np.isclose(out["Average Median Translation Error"], 0, atol=1e-5)
+        key = [k for k in out if k.startswith("Precision @ Pose")][0]
+        assert out[key] == 1.0
