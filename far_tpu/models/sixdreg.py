@@ -1,0 +1,360 @@
+"""Map-free 6DReg: ResUNet encoder + correlation-volume warping + heads.
+
+Equivalent of crockwell/far: mapfree_6dreg/lib/models/regression/
+(encoder/resunet.py, encoder/preact.py, aggregator.py, head.py,
+model.py:37-308). The FAR map-free configuration is: ResUNet
+(PreActBottleneck 3-3-3, 32-d output at 1/4 res) -> CorrelationVolumeWarping
+(position encoder + max-score channel) -> DeepResBlock feature head ->
+vanilla transformer (d=256, 6 layers) -> MoE fusion with the solver pose
+(regression_mlp, model.py:198-232).
+
+The matcher+solver outer loop (reference model.py:286-306) lives in
+far_tpu.pipeline.mapfree_forward — like the FAR-LoFTR pipeline, the whole
+loop jits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from far_tpu.models.backbone import resize_bilinear_align_corners
+
+
+@dataclasses.dataclass(frozen=True)
+class SixDRegConfig:
+    image_hw: Tuple[int, int] = (368, 272)   # padded 360x270 regressor input
+    encoder_blocks: Tuple[int, ...] = (3, 3, 3)
+    encoder_bottleneck: bool = True           # BLOCK_TYPE=1
+    encoder_out_layers: int = 32
+    not_concat: bool = False
+    # aggregator flags (reference config/default.py AGGREGATOR tree)
+    position_encoder: bool = True
+    position_encoder_im1: bool = False
+    max_score_channel: bool = True
+    normalise_dot: bool = False
+    cv_half_channels: bool = False
+    use_vanilla_transformer: bool = True
+    transformer_layers: int = 6
+    transformer_heads: int = 8
+    d_im: int = 256
+    hidden: int = 512
+    use_solver_preds: bool = True             # use_loftr_preds equivalent
+    dtype: str = "bfloat16"
+
+
+def _dt(cfg: SixDRegConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class PreActBlock(nn.Module):
+    """Pre-activation ResNet block (reference preact.py:13-37)."""
+
+    planes: int
+    stride: int = 1
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda n: (
+            nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name=n)
+            if self.use_bn else (lambda y: y)
+        )
+        out = nn.relu(bn("bn1")(x))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            shortcut = nn.Conv(self.planes, (1, 1),
+                               (self.stride, self.stride), use_bias=False,
+                               dtype=self.dtype, name="shortcut")(out)
+        else:
+            shortcut = x
+        out = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+                      padding=1, use_bias=False, dtype=self.dtype,
+                      name="conv1")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      dtype=self.dtype, name="conv2")(out)
+        return out + shortcut
+
+
+class PreActBottleneck(nn.Module):
+    """Pre-activation bottleneck, expansion 4 (reference preact.py:40-70)."""
+
+    planes: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        exp = 4 * self.planes
+        bn = lambda n: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, dtype=self.dtype, name=n)
+        out = nn.relu(bn("bn1")(x))
+        if self.stride != 1 or x.shape[-1] != exp:
+            shortcut = nn.Conv(exp, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="shortcut")(out)
+        else:
+            shortcut = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(out)
+        out = nn.relu(bn("bn2")(out))
+        out = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+                      padding=1, use_bias=False, dtype=self.dtype,
+                      name="conv2")(out)
+        out = nn.relu(bn("bn3")(out))
+        out = nn.Conv(exp, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv3")(out)
+        return out + shortcut
+
+
+class _ConvBNElu(nn.Module):
+    planes: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.planes, (self.kernel, self.kernel),
+                    padding=(self.kernel - 1) // 2, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
+        return nn.elu(x)
+
+
+class ResUNet(nn.Module):
+    """ResUNet encoder: H/2 stem, H/4..H/16 pre-act stages, decode to H/4.
+
+    Reference resunet.py:41-128 (CAPS-style).
+    """
+
+    cfg: SixDRegConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        dt = _dt(cfg)
+        block = PreActBottleneck if cfg.encoder_bottleneck else PreActBlock
+        nb = cfg.encoder_blocks
+
+        x = x.astype(dt)
+        x1 = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                     dtype=dt, name="firstconv")(x)
+        x1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          dtype=dt, name="firstbn")(x1)
+        x1 = nn.relu(x1)
+        x1 = nn.max_pool(x1, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+
+        def stage(y, planes, n, stride, name):
+            for i in range(n):
+                y = block(planes, stride if i == 0 else 1, dtype=dt,
+                          name=f"{name}_{i}")(y, train)
+            return y
+
+        x2 = stage(x1, 64, nb[0], 1, "encoder1")    # H/4
+        x3 = stage(x2, 128, nb[1], 2, "encoder2")   # H/8
+        x4 = stage(x3, 256, nb[2], 2, "encoder3")   # H/16
+
+        # decoder with align-corners bilinear upsample
+        y = resize_bilinear_align_corners(x4)
+        y = _ConvBNElu(512, 3, dt, name="upconv4")(y, train)
+        if not cfg.not_concat:
+            y = jnp.concatenate([x3, y], axis=-1)
+        y = _ConvBNElu(512, 3, dt, name="iconv4")(y, train)
+
+        y = resize_bilinear_align_corners(y)
+        y = _ConvBNElu(256, 3, dt, name="upconv3")(y, train)
+        if not cfg.not_concat:
+            y = jnp.concatenate([x2, y], axis=-1)
+        y = _ConvBNElu(256, 3, dt, name="iconv3")(y, train)
+
+        return _ConvBNElu(cfg.encoder_out_layers, 1, dt,
+                          name="outconv")(y, train)   # (B, H/4, W/4, 32)
+
+
+class CorrelationVolumeWarping(nn.Module):
+    """Global correlation volume + soft warp of the second feature map.
+
+    Reference aggregator.py:6-116: cvolume = softmax(vol0^T vol1) over
+    image-1 positions; vol1 warped by the distribution; optional channels
+    for the expected match position and the max correlation score. On TPU
+    this is three large MXU matmuls + a streamed softmax.
+    """
+
+    cfg: SixDRegConfig
+
+    @nn.compact
+    def __call__(self, vol0, vol1):
+        cfg = self.cfg
+        B, H, W, D = vol0.shape
+        N = H * W
+        f0 = vol0.reshape(B, N, D)
+        f1 = vol1.reshape(B, N, D)
+        if cfg.normalise_dot:
+            f0 = f0 / (jnp.linalg.norm(f0, axis=-1, keepdims=True) + 1e-8)
+            f1 = f1 / (jnp.linalg.norm(f1, axis=-1, keepdims=True) + 1e-8)
+        d = D // 2 if cfg.cv_half_channels else D
+        sim = jnp.einsum("bnc,bmc->bnm", f0[..., :d].astype(jnp.float32),
+                         f1[..., :d].astype(jnp.float32))
+        cvol = jax.nn.softmax(sim, axis=2)  # (B, N, M)
+
+        warped = jnp.einsum("bnm,bmc->bnc", cvol, f1.astype(jnp.float32))
+        parts = [f0.astype(jnp.float32), warped]
+
+        if cfg.position_encoder:
+            u = jnp.linspace(-1.0, 1.0, H)
+            v = jnp.linspace(-1.0, 1.0, W)
+            uu, vv = jnp.meshgrid(u, v, indexing="ij")
+            grid = jnp.stack([uu, vv], -1).reshape(N, 2)  # (N, 2)
+            pos = jnp.einsum("bnm,md->bnd", cvol, grid)   # expected position
+            parts.append(pos)
+            if cfg.position_encoder_im1:
+                parts.append(jnp.tile(grid[None], (B, 1, 1)))
+        if cfg.max_score_channel:
+            parts.append(jnp.max(cvol, axis=2, keepdims=True))
+
+        out = jnp.concatenate(parts, axis=-1)
+        return out.reshape(B, H, W, -1).astype(vol0.dtype)
+
+
+class DeepResBlockHead(nn.Module):
+    """Four pre-act stages; returns (pose9d|None, stage-3 features).
+
+    Reference head.py:27-55 (DeepResBlock) + DirectDeepResBlockMLP:248-281.
+    """
+
+    cfg: SixDRegConfig
+    full_forward_pass: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = _dt(self.cfg)
+        x = PreActBlock(64, 2, dtype=dt, name="resblock1")(x, train)
+        x = PreActBlock(128, 2, dtype=dt, name="resblock2")(x, train)
+        x3 = PreActBlock(256, 2, dtype=dt, name="resblock3")(x, train)
+        if not self.full_forward_pass:
+            return None, x3
+        y = PreActBlock(512, 2, dtype=dt, name="resblock4")(x3, train)
+        y = jnp.mean(y, axis=(1, 2))  # AVG_POOL
+        y = nn.relu(nn.Dense(256, dtype=dt, name="mlp_0")(y))
+        y = nn.relu(nn.Dense(128, dtype=dt, name="mlp_1")(y))
+        out = nn.Dense(9, dtype=dt, name="mlp_2")(y).astype(jnp.float32)
+        # reference order: (ortho6d, t)
+        pose = jnp.concatenate([out[..., 6:], out[..., :6]], -1)  # (t, rot)
+        return pose, x3
+
+
+class TorchTransformerEncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer (torch nn.TransformerEncoderLayer
+    defaults: ReLU FFN of 2048, norm after residual)."""
+
+    d_model: int
+    nhead: int
+    dim_ff: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        h, d = self.nhead, C // self.nhead
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(
+            qkv.reshape(B, N, 3, h, d).transpose(2, 0, 3, 1, 4), 3, 0)
+        q, k, v = q[0], k[0], v[0]
+        a = jax.nn.softmax(
+            (jnp.einsum("bhnd,bhmd->bhnm", q, k) * d ** -0.5
+             ).astype(jnp.float32), -1).astype(x.dtype)
+        o = jnp.einsum("bhnm,bhmd->bhnd", a, v).transpose(0, 2, 1, 3)
+        o = nn.Dense(C, dtype=self.dtype, name="proj")(o.reshape(B, N, C))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + o)
+        y = nn.relu(nn.Dense(self.dim_ff, dtype=self.dtype, name="ff1")(x))
+        y = nn.Dense(C, dtype=self.dtype, name="ff2")(y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+class MapfreeRegression(nn.Module):
+    """The network part of the map-free FAR model: a pair of regressor-res
+    images + the solver summary -> fused (t, 6D rot) + gate.
+
+    The reference's regression_mlp translation handling differs from the
+    mp3d EMM head: the solver t is rescaled to the regressed magnitude in
+    *metric* space with clamped ratios (model.py:224-226).
+    """
+
+    cfg: SixDRegConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        image0: jnp.ndarray,   # (B, H, W, 3) in [0, 1]
+        image1: jnp.ndarray,
+        solver_rt: Optional[jnp.ndarray] = None,     # (B, 3, 4)
+        solver_inliers: Optional[jnp.ndarray] = None,  # (B, 3) counts
+        train: bool = False,
+    ):
+        cfg = self.cfg
+        dt = _dt(cfg)
+        encoder = ResUNet(cfg, name="encoder")
+        vol0 = encoder(image0, train)
+        vol1 = encoder(image1, train)
+
+        gvol = CorrelationVolumeWarping(cfg, name="aggregator")(vol0, vol1)
+        _, feats = DeepResBlockHead(cfg, full_forward_pass=False,
+                                    name="head")(gvol, train)
+        B, Hf, Wf, C = feats.shape
+        tokens = feats.reshape(B, Hf * Wf, C)
+
+        if cfg.use_vanilla_transformer:
+            for i in range(cfg.transformer_layers):
+                tokens = TorchTransformerEncoderLayer(
+                    cfg.d_im, cfg.transformer_heads, dtype=dt,
+                    name=f"transformer_{i}")(tokens)
+
+        features = tokens.reshape(B, -1).astype(jnp.float32)
+
+        def mlp(inp, out, name):
+            y = nn.relu(nn.Dense(cfg.hidden, dtype=dt, name=f"{name}_0")(inp))
+            y = nn.relu(nn.Dense(cfg.hidden, dtype=dt, name=f"{name}_1")(y))
+            return nn.Dense(out, dtype=dt, name=f"{name}_2")(y)
+
+        pred_9d = mlp(features, 9, "pose_regressor").astype(jnp.float32)
+
+        gate = None
+        if cfg.use_solver_preds:
+            assert solver_rt is not None and solver_inliers is not None
+            from far_tpu.geometry.rotations import matrix_to_rotation_6d
+
+            sp = jnp.concatenate(
+                [solver_rt[..., :3, 3],
+                 matrix_to_rotation_6d(solver_rt[..., :3, :3])], -1
+            ).astype(jnp.float32)                      # (B, 9) unnormalized
+            counts = solver_inliers.astype(jnp.float32) / 500.0  # (B, 3)
+
+            # rescale solver t toward the regressed magnitude (clamped)
+            ratio = jnp.linalg.norm(pred_9d[..., :3], axis=-1) / jnp.clip(
+                jnp.linalg.norm(sp[..., :3], axis=-1), 1e-2, 1e2)
+            ratio = jnp.clip(ratio, 1e-2, 1e2)[..., None]
+            sp_t = sp[..., :3] * ratio
+            sp_full = jnp.concatenate([sp_t, sp[..., 3:], counts], -1)
+
+            gin = jnp.concatenate([features, pred_9d, sp_full], -1)
+            g = nn.relu(nn.Dense(cfg.hidden, dtype=dt, name="moe_0")(gin))
+            g = nn.relu(nn.Dense(cfg.hidden, dtype=dt, name="moe_1")(g))
+            gate = nn.sigmoid(nn.Dense(2, dtype=dt, name="moe_2")(g)
+                              ).astype(jnp.float32)
+            t = gate[..., :1] * pred_9d[..., :3] + \
+                (1 - gate[..., :1]) * sp_t
+            r = gate[..., 1:] * pred_9d[..., 3:] + \
+                (1 - gate[..., 1:]) * sp[..., 3:]
+            pred_9d = jnp.concatenate([t, r], -1)
+
+        from far_tpu.geometry.rotations import rotation_6d_to_matrix
+
+        R = rotation_6d_to_matrix(pred_9d[..., 3:])
+        t = pred_9d[..., :3]
+        return R, t, pred_9d, gate
