@@ -1,0 +1,338 @@
+"""Dataset adapters for the three benchmark families + synthetic data.
+
+Equivalents of crockwell/far:
+- mp3d_loftr/src/datasets/mp3d.py (Mp3dDataset: json pair list,
+  grayscale 640x480, pkl depth, axis-flipped quaternion poses,
+  skip-bad-sample semantics)
+- mp3d_loftr/src/datasets/interiornet_streetlearn.py (npy metadata,
+  viewpoint-derived GT rotations, cached matcher predictions)
+- mapfree_6dreg/lib/datasets/mapfree.py (MapFreeScene/Dataset:
+  per-scene intrinsics/poses txt, overlap-filtered pairs, dual
+  matcher/regressor resolutions, optional estimated depth)
+
+plus a SyntheticPairDataset used by tests/bench/demos (renders textured
+random geometry so the full pipeline runs without any downloaded data).
+
+All __getitem__ return plain numpy dicts; collation to device pytrees
+lives in far_tpu.data.loader.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from far_tpu.data import io as dio
+
+
+class Mp3dDataset:
+    """Matterport3D pair dataset (json index)."""
+
+    def __init__(
+        self,
+        json_path,
+        data_dir,
+        depth_dir=None,
+        mode: str = "train",
+        resize_wh: Tuple[int, int] = (640, 480),
+        subsample_test: bool = True,
+    ):
+        with open(json_path, "r") as f:
+            self.data = json.load(f)["data"]
+        if mode == "test" and "train" in str(json_path) and subsample_test:
+            self.data = self.data[::10]
+        self.mode = mode
+        self.data_dir = Path(data_dir)
+        self.depth_dir = Path(depth_dir) if depth_dir else None
+        self.resize_wh = resize_wh
+        self.K = dio.get_mp3d_intrinsics().astype(np.float32)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx: int) -> Dict:
+        # skip-unreadable-sample semantics (reference mp3d.py:88-106)
+        for attempt in range(len(self.data)):
+            sample = self.data[(idx + attempt) % len(self.data)]
+            try:
+                return self._load(sample, (idx + attempt) % len(self.data))
+            except (OSError, KeyError, ValueError):
+                continue
+        raise RuntimeError("no readable sample in dataset")
+
+    def _load(self, sample, idx) -> Dict:
+        name0 = "/".join(sample["0"]["file_name"].split("/")[-3:])
+        name1 = "/".join(sample["1"]["file_name"].split("/")[-3:])
+        scene = Path(name0).parent.name
+        img0 = dio.read_gray(self.data_dir / name0, self.resize_wh)
+        img1 = dio.read_gray(self.data_dir / name1, self.resize_wh)
+        T_0to1 = dio.get_mp3d_T_0to1(sample["rel_pose"]).astype(np.float32)
+        out = {
+            "image0": img0,
+            "image1": img1,
+            "K0": self.K,
+            "K1": self.K,
+            "T_0to1": T_0to1,
+            "T_1to0": np.linalg.inv(T_0to1).astype(np.float32),
+            "scene": scene,
+            "pair_id": np.asarray(idx, np.int64),
+            "pair_names": (name0, name1),
+            "dataset_name": "mp3d",
+        }
+        if self.depth_dir is not None and self.mode in ("train", "val"):
+            out["depth0"] = dio.read_mp3d_depth(self.depth_dir, scene, name0)
+            out["depth1"] = dio.read_mp3d_depth(self.depth_dir, scene, name1)
+        return out
+
+
+class InteriornetStreetlearnDataset:
+    """InteriorNet / StreetLearn extreme-rotation pairs.
+
+    Metadata: an .npy of records with per-pair image paths and (x, y)
+    viewpoints; GT is rotation-only (reference
+    interiornet_streetlearn.py + data_readers/interiornet.py:22-45).
+    """
+
+    def __init__(self, metadata_npy, data_dir,
+                 resize_wh: Tuple[int, int] = (640, 480)):
+        raw = np.load(metadata_npy, allow_pickle=True)
+        self.records = np.array(raw, ndmin=1)[0]
+        self.keys = sorted(self.records.keys())
+        self.data_dir = Path(data_dir)
+        self.resize_wh = resize_wh
+        self.K = dio.get_interiornet_streetlearn_intrinsics().astype(np.float32)
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, idx: int) -> Dict:
+        rec = self.records[self.keys[idx]]
+        img0 = dio.read_color(self.data_dir / rec["img1"]["path"],
+                              self.resize_wh)
+        img1 = dio.read_color(self.data_dir / rec["img2"]["path"],
+                              self.resize_wh)
+        vp0 = (rec["img1"]["x"], rec["img1"]["y"])
+        vp1 = (rec["img2"]["x"], rec["img2"]["y"])
+        R = dio.relative_rotation_from_viewpoints(vp0, vp1).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        return {
+            "image0": img0.mean(-1, keepdims=True),
+            "image1": img1.mean(-1, keepdims=True),
+            "image0_rgb": img0,
+            "image1_rgb": img1,
+            "K0": self.K,
+            "K1": self.K,
+            "T_0to1": T,
+            "T_1to0": np.linalg.inv(T).astype(np.float32),
+            "pair_id": np.asarray(idx, np.int64),
+            "pair_names": (str(self.keys[idx]), str(self.keys[idx])),
+            "dataset_name": "interiornet_streetlearn",
+        }
+
+
+class MapFreeScene:
+    """One map-free scene: reference frame seq0/frame_00000 + query seq."""
+
+    def __init__(self, scene_dir, resize_wh=(540, 720),
+                 reg_resize_wh=(270, 360),
+                 overlap_limits: Optional[Tuple[float, float]] = None,
+                 estimated_depth: Optional[str] = None):
+        self.scene_dir = Path(scene_dir)
+        self.scene = self.scene_dir.name
+        self.resize_wh = resize_wh
+        self.reg_resize_wh = reg_resize_wh
+        self.estimated_depth = estimated_depth
+        self.K = dio.load_mapfree_intrinsics(self.scene_dir / "intrinsics.txt")
+        self.poses = dio.load_mapfree_poses(self.scene_dir / "poses.txt")
+        self.pairs = self._build_pairs(overlap_limits)
+
+    def _build_pairs(self, overlap_limits) -> List[Tuple[str, str]]:
+        frames = sorted(self.poses.keys())
+        ref = [f for f in frames if f.startswith("seq0")]
+        qry = [f for f in frames if not f.startswith("seq0")]
+        if not ref:
+            return []
+        pairs = [(ref[0], q) for q in qry]
+        if overlap_limits is not None:
+            overlaps = self._load_overlaps()
+            if overlaps is not None:
+                lo, hi = overlap_limits
+                pairs = [p for p in pairs
+                         if lo <= overlaps.get(p[1], 0.5) <= hi]
+        return pairs
+
+    def _load_overlaps(self):
+        p = self.scene_dir / "overlaps.npz"
+        if not p.exists():
+            return None
+        z = np.load(p, allow_pickle=True)
+        return dict(zip(z["names"].tolist(), z["overlaps"].tolist()))
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __getitem__(self, idx: int) -> Dict:
+        f0, f1 = self.pairs[idx]
+        img0 = dio.read_color(self.scene_dir / f0, self.resize_wh)
+        img1 = dio.read_color(self.scene_dir / f1, self.resize_wh)
+        img0_reg = dio.read_color(self.scene_dir / f0, self.reg_resize_wh)
+        img1_reg = dio.read_color(self.scene_dir / f1, self.reg_resize_wh)
+        q0, t0 = self.poses[f0]
+        q1, t1 = self.poses[f1]
+        T_0to1 = dio.mapfree_relative_pose(q0, t0, q1, t1).astype(np.float32)
+
+        # rescale K for the matcher resolution
+        from PIL import Image
+
+        with Image.open(self.scene_dir / f0) as im:
+            W0, H0 = im.size
+        sx = self.resize_wh[0] / W0
+        sy = self.resize_wh[1] / H0
+        S = np.diag([sx, sy, 1.0]).astype(np.float32)
+        out = {
+            "image0": img0.mean(-1, keepdims=True),
+            "image1": img1.mean(-1, keepdims=True),
+            "image0_reg": img0_reg,
+            "image1_reg": img1_reg,
+            "K0": (S @ self.K[f0]).astype(np.float32),
+            "K1": (S @ self.K[f1]).astype(np.float32),
+            "K_color0": self.K[f0].astype(np.float32),
+            "K_color1": self.K[f1].astype(np.float32),
+            "T_0to1": T_0to1,
+            "T_1to0": np.linalg.inv(T_0to1).astype(np.float32),
+            "scene": self.scene,
+            "pair_id": np.asarray(idx, np.int64),
+            "pair_names": (f0, f1),
+            "dataset_name": "mapfree",
+        }
+        if self.estimated_depth is not None:
+            d0 = self.scene_dir / f0.replace(".jpg", f".{self.estimated_depth}.npy")
+            d1 = self.scene_dir / f1.replace(".jpg", f".{self.estimated_depth}.npy")
+            if d0.exists():
+                out["depth0"] = np.load(d0).astype(np.float32)
+            if d1.exists():
+                out["depth1"] = np.load(d1).astype(np.float32)
+        return out
+
+
+class MapFreeDataset:
+    """Concatenation of MapFreeScene datasets (reference mapfree.py:170+)."""
+
+    def __init__(self, root, split: str = "val", **scene_kwargs):
+        root = Path(root) / split
+        self.scenes = [
+            MapFreeScene(d, **scene_kwargs)
+            for d in sorted(root.iterdir()) if d.is_dir()
+        ]
+        self._offsets = np.cumsum([0] + [len(s) for s in self.scenes])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    @property
+    def scene_lengths(self) -> List[int]:
+        return [len(s) for s in self.scenes]
+
+    def __getitem__(self, idx: int) -> Dict:
+        s = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.scenes[s][idx - int(self._offsets[s])]
+
+
+class SyntheticPairDataset:
+    """Procedural image pairs with exact GT pose and depth.
+
+    Renders a textured fronto-parallel-ish scene from two views by
+    projective warping; gives the full supervision signal (images, depth
+    maps, intrinsics, relative pose) so every pipeline is exercisable
+    without external data.
+    """
+
+    def __init__(self, n: int = 32, hw: Tuple[int, int] = (480, 640),
+                 seed: int = 0, max_angle_deg: float = 20.0,
+                 n_scenes: int = 4):
+        self.n = n
+        self.hw = hw
+        self.seed = seed
+        self.max_angle = np.radians(max_angle_deg)
+        self.n_scenes = n_scenes
+        H, W = hw
+        f = 0.8 * max(H, W)
+        self.K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]],
+                          np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def _texture(self, rng, reso=256):
+        tex = rng.uniform(0.1, 1.0, size=(8, 8))
+        for _ in range(3):
+            reso2 = tex.shape[0] * 2
+            up = np.kron(tex, np.ones((2, 2)))
+            up += rng.uniform(-0.1, 0.1, up.shape)
+            tex = np.clip(up, 0, 1)
+        return tex
+
+    def __getitem__(self, idx: int) -> Dict:
+        rng = np.random.default_rng(self.seed + idx % self.n_scenes)
+        prng = np.random.default_rng(self.seed * 7919 + idx)
+        H, W = self.hw
+        K = self.K
+        tex = self._texture(rng)
+        th, tw = tex.shape
+
+        # plane at depth z0 with small normal tilt
+        z0 = prng.uniform(3.0, 5.0)
+        ax = prng.uniform(-1, 1, 3)
+        ax /= np.linalg.norm(ax)
+        ang = prng.uniform(0.2, 1.0) * self.max_angle
+        cx, sx = np.cos(ang), np.sin(ang)
+        Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                       [-ax[1], ax[0], 0]])
+        R = np.eye(3) + sx * Kx + (1 - cx) * (Kx @ Kx)
+        t = prng.uniform(-0.3, 0.3, 3)
+        t[2] = abs(t[2]) * 0.3
+
+        # world plane points sampled on a grid; project into both views;
+        # rasterize by nearest splat
+        gy, gx = np.mgrid[0:th, 0:tw]
+        Xw = np.stack([
+            (gx / (tw - 1) - 0.5) * 6.0,
+            (gy / (th - 1) - 0.5) * 6.0,
+            np.full(gx.shape, z0),
+        ], -1).reshape(-1, 3)
+        vals = tex.reshape(-1)
+
+        def splat(Rv, tv):
+            P = Xw @ Rv.T + tv
+            uv = (P[:, :2] / P[:, 2:]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+            img = np.zeros((H, W), np.float32)
+            dep = np.zeros((H, W), np.float32)
+            ij = np.round(uv).astype(int)
+            ok = (ij[:, 0] >= 0) & (ij[:, 0] < W) & (ij[:, 1] >= 0) & (ij[:, 1] < H)
+            img[ij[ok, 1], ij[ok, 0]] = vals[ok]
+            dep[ij[ok, 1], ij[ok, 0]] = P[ok, 2]
+            return img[..., None], dep
+
+        img0, depth0 = splat(np.eye(3), np.zeros(3))
+        img1, depth1 = splat(R, t)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        return {
+            "image0": img0,
+            "image1": img1,
+            "depth0": depth0,
+            "depth1": depth1,
+            "K0": K,
+            "K1": K,
+            "T_0to1": T,
+            "T_1to0": np.linalg.inv(T).astype(np.float32),
+            "scene": f"synthetic_{idx % self.n_scenes}",
+            "pair_id": np.asarray(idx, np.int64),
+            "pair_names": (f"syn_{idx}_0", f"syn_{idx}_1"),
+            "dataset_name": "synthetic",
+        }
