@@ -123,6 +123,60 @@ def far_forward(
     )
 
 
+def mapfree_forward(
+    matcher: FARLoFTR,
+    matcher_vars: Dict[str, Any],
+    reg_model,
+    reg_vars: Dict[str, Any],
+    batch: PairBatch,
+    image0_reg: jnp.ndarray,
+    image1_reg: jnp.ndarray,
+    key: jax.Array,
+    pixel_thr: float = 2.0,
+    fine_pred_steps: int = 2,
+):
+    """Map-free FAR inference: matcher -> solver -> 6DReg -> prior loop.
+
+    Equivalent of crockwell/far:
+    mapfree_6dreg/lib/models/regression/model.py:235-308 (forward):
+    round 0 solves with plain RANSAC (reference: cv2 USAC_MAGSAC,
+    pose_solver.py:81-83), later rounds with the prior-biased engine;
+    the regression network fuses via its MoE gate each round.
+
+    Args:
+        batch: matcher-resolution grayscale pair (image0/image1 + K).
+        image0_reg/image1_reg: regressor-resolution RGB pair (B, H, W, 3).
+    Returns:
+        (R (B,3,3), t (B,3), gate, est) of the final round.
+    """
+    m_out = matcher.apply(
+        matcher_vars, batch, train=False, method=FARLoFTR.match,
+        mutable=False,
+    )
+    m = m_out.matches
+
+    first_cfg = SolverConfig(solver="ransac", pixel_thr=pixel_thr)
+    refine_cfg = SolverConfig(solver="prior_ransac")
+
+    keys = jax.random.split(key, fine_pred_steps)
+    prior_rt = None
+    R = t = gate = est = None
+    for i in range(fine_pred_steps):
+        cfg_i = first_cfg if i == 0 else refine_cfg
+        est = estimate_pose(
+            keys[i], m.mkpts0_f, m.mkpts1_f, batch.K0, batch.K1, m.valid,
+            prior_rt=prior_rt, cfg=cfg_i,
+        )
+        inlier_counts = jnp.stack(
+            [est.num_inliers, est.num_tight, est.num_ultra_tight], -1)
+        R, t, pose_9d, gate = reg_model.apply(
+            reg_vars, image0_reg, image1_reg, est.rt34, inlier_counts,
+            mutable=False,
+        )
+        prior_rt = jnp.concatenate([R, t[..., None]], -1)
+    return R, t, gate, est
+
+
 def build_inference_fn(model: FARLoFTR):
     """Returns a jitted (variables, batch, key) -> FarOutput."""
 
