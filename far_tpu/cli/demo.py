@@ -1,0 +1,97 @@
+"""Single-pair pose demo.
+
+Equivalent of crockwell/far: mp3d_loftr/demo.py (and
+mapfree_6dreg/demo.py): loads two images (or renders a synthetic pair),
+runs the full FAR loop once, and prints the predicted [R|t].
+
+    python -m far_tpu.cli.demo --image0 a.png --image1 b.png \
+        --fx 517.97 --fy 517.97 --cx 320 --cy 240
+    python -m far_tpu.cli.demo --synthetic --image_size 64x64
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from far_tpu.pipeline import far_forward, init_model
+from far_tpu.types import PairBatch
+from far_tpu.utils.cli import apply_overrides
+from far_tpu.utils.config import FARConfig
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="far_tpu demo")
+    p.add_argument("--image0")
+    p.add_argument("--image1")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--image_size", default="480x640")
+    p.add_argument("--fx", type=float, default=517.97)
+    p.add_argument("--fy", type=float, default=517.97)
+    p.add_argument("--cx", type=float, default=320.0)
+    p.add_argument("--cy", type=float, default=240.0)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--set", dest="overrides", action="append", default=[])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    H, W = (int(x) for x in args.image_size.split("x"))
+    cfg = FARConfig(image_size=(H, W), dtype=args.dtype)
+    cfg = apply_overrides(cfg, args.overrides)
+
+    if args.synthetic or not args.image0:
+        from far_tpu.data import SyntheticPairDataset
+
+        s = SyntheticPairDataset(n=1, hw=(H, W))[0]
+        img0, img1 = s["image0"], s["image1"]
+        K = s["K0"]
+        gt = s["T_0to1"]
+    else:
+        from far_tpu.data.io import read_gray
+
+        img0 = read_gray(args.image0, (W, H))
+        img1 = read_gray(args.image1, (W, H))
+        K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy],
+                      [0, 0, 1]], np.float32)
+        gt = None
+
+    model, variables = init_model(cfg, seed=0, batch_size=1)
+    if args.ckpt_dir:
+        from far_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        state = mgr.restore(jax.device_get(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}))
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        mgr.close()
+
+    batch = PairBatch(
+        image0=jnp.asarray(img0)[None], image1=jnp.asarray(img1)[None],
+        K0=jnp.asarray(K)[None], K1=jnp.asarray(K)[None],
+    )
+    out = jax.jit(lambda v, b, k: far_forward(model, v, b, k))(
+        variables, batch, jax.random.PRNGKey(0))
+    rt = np.concatenate(
+        [np.asarray(out.R[0]), np.asarray(out.t[0])[:, None]], -1)
+    np.set_printoptions(precision=4, suppress=True)
+    print("predicted [R|t]:")
+    print(rt)
+    print(f"matches: {int(np.asarray(out.matches.valid.sum()))}, "
+          f"inliers: {float(np.asarray(out.num_inliers[0])):.0f}, "
+          f"solved: {bool(np.asarray(out.success[0]))}")
+    if gt is not None:
+        print("ground truth [R|t]:")
+        print(gt[:3])
+    return rt
+
+
+if __name__ == "__main__":
+    main()

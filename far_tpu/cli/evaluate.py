@@ -1,0 +1,137 @@
+"""Evaluation CLI.
+
+Equivalent of crockwell/far: mp3d_loftr/test.py + scripts/eval_*.sh:
+runs the full FAR loop over an eval split, gathers metrics across hosts,
+prints the Matterport (or InteriorNet/StreetLearn) aggregation table and
+writes the reference's artifacts: results_{solver}.txt, error CDF .npy,
+pred_R.npy / pred_t.npy.
+
+    python -m far_tpu.cli.evaluate --dataset synthetic --image_size 64x64
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from far_tpu.data import Loader
+from far_tpu.data.sampler import sequential_indices
+from far_tpu.eval.metrics import (
+    aggregate_metrics,
+    aggregate_metrics_interiornet_streetlearn,
+    relative_pose_error,
+)
+from far_tpu.geometry.epipolar import (
+    essential_from_pose34,
+    symmetrical_epipolar_distance,
+)
+from far_tpu.geometry.transforms import normalize_kpts_by_K
+from far_tpu.parallel.comm import all_gather_metrics
+from far_tpu.pipeline import far_forward, init_model
+from far_tpu.train.checkpoint import CheckpointManager
+from far_tpu.utils.cli import add_common_args, apply_overrides, build_dataset
+from far_tpu.utils.config import FARConfig
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="far_tpu evaluator")
+    add_common_args(p)
+    p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--out_dir", default="/tmp/far_tpu_eval")
+    p.add_argument("--max_batches", type=int, default=0)
+    p.add_argument("--agg", default="matterport",
+                   choices=["matterport", "interiornet_streetlearn"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    H, W = (int(x) for x in args.image_size.split("x"))
+    cfg = FARConfig(image_size=(H, W), dtype=args.dtype)
+    cfg = apply_overrides(cfg, args.overrides)
+
+    model, variables = init_model(cfg, seed=args.seed,
+                                  batch_size=args.batch_size)
+    if args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir)
+        state = mgr.restore(jax.device_get(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}))
+        variables = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        mgr.close()
+
+    fn = jax.jit(lambda v, b, k: far_forward(model, v, b, k, train=False))
+
+    dataset = build_dataset(args)
+    idx = sequential_indices(len(dataset), rank=jax.process_index(),
+                             world_size=jax.process_count())
+    loader = Loader(dataset, idx, args.batch_size, keep_meta=True)
+
+    acc = {k: [] for k in ("identifiers", "R_errs", "t_errs", "t_errs_abs",
+                           "successful_fits", "epi_errs", "gt_R", "pred_R",
+                           "pred_t")}
+    key = jax.random.PRNGKey(args.seed)
+    for bi, (batch, meta) in enumerate(loader):
+        if args.max_batches and bi >= args.max_batches:
+            break
+        key, sub = jax.random.split(key)
+        out = fn(variables, batch, sub)
+        R = np.asarray(out.R)
+        t = np.asarray(out.t)
+        T = np.asarray(batch.T_0to1)
+        m = out.matches
+
+        # per-match symmetric epipolar residuals against GT
+        E_gt = essential_from_pose34(batch.T_0to1[:, :3, :4])
+        p0 = normalize_kpts_by_K(m.mkpts0_f, batch.K0)
+        p1 = normalize_kpts_by_K(m.mkpts1_f, batch.K1)
+        epi = np.asarray(symmetrical_epipolar_distance(p0, p1, E_gt))
+        valid = np.asarray(m.valid)
+
+        for b in range(R.shape[0]):
+            t_err, r_err, t_abs = relative_pose_error(T[b], R[b], t[b])
+            acc["identifiers"].append("#".join(meta["pair_names"][b]))
+            acc["R_errs"].append(r_err)
+            acc["t_errs"].append(t_err)
+            acc["t_errs_abs"].append(t_abs)
+            acc["successful_fits"].append(float(np.asarray(out.success[b])))
+            acc["epi_errs"].append(epi[b][valid[b]])
+            acc["gt_R"].append(T[b][:3, :3])
+            acc["pred_R"].append(R[b])
+            acc["pred_t"].append(t[b])
+
+    # cross-host gather of fixed-shape arrays; identifiers stay local-only
+    # (dedup handles the padding overlap)
+    gathered = all_gather_metrics({
+        k: np.asarray(acc[k]) for k in
+        ("R_errs", "t_errs", "t_errs_abs", "successful_fits")
+    })
+    for k, v in gathered.items():
+        acc[k] = list(v)
+
+    if args.agg == "matterport":
+        table = aggregate_metrics(acc)
+    else:
+        table = aggregate_metrics_interiornet_streetlearn(acc)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    solver = cfg.solver.solver
+    (out_dir / f"results_{solver}.txt").write_text(
+        "\n".join(f"{k}: {v}" for k, v in table.items()) + "\n")
+    np.save(out_dir / "error_cdf.npy",
+            np.sort(np.maximum(acc["R_errs"], acc["t_errs"])))
+    np.save(out_dir / "pred_R.npy", np.asarray(acc["pred_R"]))
+    np.save(out_dir / "pred_t.npy", np.asarray(acc["pred_t"]))
+    print(json.dumps(table, indent=2, default=float))
+    return table
+
+
+if __name__ == "__main__":
+    main()

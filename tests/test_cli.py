@@ -1,0 +1,73 @@
+"""CLI smoke tests on synthetic data (tiny configs, few steps)."""
+
+import numpy as np
+import pytest
+
+
+_SMALL_SETS = [
+    "backbone.initial_dim=16", "backbone.block_dims=16,24,32",
+    "coarse.d_model=32", "coarse.nhead=4",
+    "match.max_matches=32", "match.thr=0.0",
+    "fine.d_model=16", "fine.nhead=4",
+    "regress.d_model=32", "regress.emm_heads=4", "regress.hidden=64",
+    "solver.num_hypotheses=64",
+]
+# batch 8 = one pair per virtual device on the test mesh
+SMALL = [
+    "--dataset", "synthetic", "--image_size", "64x64",
+    "--n_synthetic", "8", "--batch_size", "8", "--dtype", "float32",
+]
+for _s in _SMALL_SETS:
+    SMALL += ["--set", _s]
+
+
+class TestTrainCLI:
+    def test_train_few_steps(self, tmp_path):
+        from far_tpu.cli.train import main
+
+        main(SMALL + [
+            "--steps", "2", "--log_every", "1",
+            "--ckpt_dir", str(tmp_path / "ckpt"),
+            "--log_dir", str(tmp_path / "logs"),
+            "--sampler", "sequential",
+        ])
+        assert (tmp_path / "logs" / "train_metrics.jsonl").exists()
+
+    def test_train_resume(self, tmp_path):
+        from far_tpu.cli.train import main
+
+        argv = SMALL + [
+            "--steps", "1", "--log_every", "1",
+            "--ckpt_dir", str(tmp_path / "ckpt"),
+            "--log_dir", str(tmp_path / "logs"),
+            "--sampler", "sequential",
+        ]
+        main(argv)
+        main(argv + ["--resume"])  # resumes at step 1 -> no more steps
+
+
+class TestEvaluateCLI:
+    def test_evaluate_table(self, tmp_path):
+        from far_tpu.cli.evaluate import main
+
+        table = main(SMALL + [
+            "--max_batches", "1",
+            "--out_dir", str(tmp_path / "eval"),
+        ])
+        assert "rot mean err" in table
+        assert (tmp_path / "eval" / "pred_R.npy").exists()
+        cdf = np.load(tmp_path / "eval" / "error_cdf.npy")
+        assert (np.diff(cdf) >= 0).all()
+
+
+class TestDemoCLI:
+    def test_demo_synthetic(self):
+        from far_tpu.cli.demo import main
+
+        argv = ["--synthetic", "--image_size", "64x64",
+                "--dtype", "float32"]
+        for s in _SMALL_SETS:
+            argv += ["--set", s]
+        rt = main(argv)
+        assert rt.shape == (3, 4)
+        assert np.isfinite(rt).all()
