@@ -105,6 +105,12 @@ class FARLoFTR(nn.Module):
             attention=cfg.coarse.attention,
             dtype=dt,
         )
+        if cfg.match.match_type == "sinkhorn":
+            self.bin_score = self.param(
+                "bin_score",
+                lambda key: jnp.asarray(cfg.match.skh_init_bin_score,
+                                        jnp.float32),
+            )
         self.fine_preprocess = FinePreprocess(
             cfg=cfg.fine, d_model_c=cfg.coarse.d_model, dtype=dt
         )
@@ -146,17 +152,35 @@ class FARLoFTR(nn.Module):
 
         t0, t1 = self.loftr_coarse(t0, t1)
 
-        # the dense confidence matrix is only materialized for the
-        # training loss; at inference the matching kernel streams it
-        res = coarse_match(
-            t0, t1, (hc, wc), (hc, wc), float(coarse_stride), cfg.match,
-            scale0=batch.scale0, scale1=batch.scale1, return_conf=train,
-        )
-        if train:
-            i_ids, j_ids, mconf, valid, mkpts0, mkpts1, conf = res
+        if cfg.match.match_type == "sinkhorn":
+            from far_tpu.models.matching import (
+                ids_to_coords,
+                select_topk_matches,
+                sinkhorn_confidence,
+            )
+
+            conf = sinkhorn_confidence(
+                t0, t1, self.bin_score, cfg.match.skh_iters)
+            i_ids, j_ids, mconf, valid = select_topk_matches(
+                conf, (hc, wc), (hc, wc), cfg.match)
+            mkpts0 = ids_to_coords(i_ids, wc, float(coarse_stride),
+                                   batch.scale0) * valid[..., None]
+            mkpts1 = ids_to_coords(j_ids, wc, float(coarse_stride),
+                                   batch.scale1) * valid[..., None]
+            if not train:
+                conf = None
         else:
-            i_ids, j_ids, mconf, valid, mkpts0, mkpts1 = res
-            conf = None
+            # dense conf matrix is only materialized for the training
+            # loss; at inference the Pallas matching kernel streams it
+            res = coarse_match(
+                t0, t1, (hc, wc), (hc, wc), float(coarse_stride), cfg.match,
+                scale0=batch.scale0, scale1=batch.scale1, return_conf=train,
+            )
+            if train:
+                i_ids, j_ids, mconf, valid, mkpts0, mkpts1, conf = res
+            else:
+                i_ids, j_ids, mconf, valid, mkpts0, mkpts1 = res
+                conf = None
 
         # fine refinement
         f0w, f1w = self.fine_preprocess(

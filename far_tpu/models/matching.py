@@ -40,6 +40,71 @@ def dual_softmax_confidence(
     return conf
 
 
+def log_sinkhorn(
+    scores: jnp.ndarray, bin_score: jnp.ndarray, iters: int
+) -> jnp.ndarray:
+    """Differentiable optimal transport with a dustbin row/column.
+
+    Log-domain Sinkhorn as in SuperGlue; the reference exposes it as the
+    LoFTR match_type='sinkhorn' option (coarse_matching.py:120-142).
+
+    Args:
+        scores: (B, L, S) similarity matrix.
+        bin_score: scalar learnable dustbin score.
+    Returns:
+        (B, L+1, S+1) log assignment matrix.
+    """
+    B, L, S = scores.shape
+    b = jnp.broadcast_to(bin_score, (B, 1, 1)).astype(scores.dtype)
+    couplings = jnp.concatenate([
+        jnp.concatenate([scores, jnp.tile(b, (1, L, 1))], axis=2),
+        jnp.concatenate([jnp.tile(b, (1, 1, S)), b], axis=2),
+    ], axis=1)  # (B, L+1, S+1)
+
+    norm = -jnp.log(jnp.asarray(L + S, scores.dtype))
+    log_mu = jnp.concatenate(
+        [jnp.full((L,), norm), jnp.asarray([jnp.log(jnp.asarray(S, jnp.float32)) + norm])])
+    log_nu = jnp.concatenate(
+        [jnp.full((S,), norm), jnp.asarray([jnp.log(jnp.asarray(L, jnp.float32)) + norm])])
+    log_mu = jnp.broadcast_to(log_mu, (B, L + 1))
+    log_nu = jnp.broadcast_to(log_nu, (B, S + 1))
+
+    def body(_, uv):
+        u, v = uv
+        u = log_mu - jax.nn.logsumexp(couplings + v[:, None, :], axis=2)
+        v = log_nu - jax.nn.logsumexp(couplings + u[:, :, None], axis=1)
+        return u, v
+
+    u, v = jax.lax.fori_loop(
+        0, iters, body,
+        (jnp.zeros((B, L + 1)), jnp.zeros((B, S + 1))),
+    )
+    return couplings + u[:, :, None] + v[:, None, :] - norm
+
+
+def sinkhorn_confidence(
+    feat0: jnp.ndarray,
+    feat1: jnp.ndarray,
+    bin_score: jnp.ndarray,
+    iters: int = 3,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sinkhorn-based confidence matrix (the LoFTR-OT matching variant).
+
+    Returns (B, L, S) confidences (the dustbin row/col dropped, like the
+    reference's conf_matrix = assign_matrix[:, :-1, :-1]).
+    """
+    C = feat0.shape[-1]
+    f0 = (feat0 / C ** 0.5).astype(jnp.float32)
+    f1 = (feat1 / C ** 0.5).astype(jnp.float32)
+    sim = jnp.einsum("nlc,nsc->nls", f0, f1)
+    if mask0 is not None and mask1 is not None:
+        sim = jnp.where(mask0[..., None] & mask1[:, None], sim, -1e9)
+    log_assign = log_sinkhorn(sim, bin_score, iters)
+    return jnp.exp(log_assign)[:, :-1, :-1]
+
+
 def border_mask(h: int, w: int, b: int, dtype=bool) -> jnp.ndarray:
     """(h*w,) mask that is False within b cells of the image border."""
     ys = jnp.arange(h)[:, None]

@@ -33,7 +33,10 @@ class AttentionStackConfig:
 class MatchConfig:
     thr: float = 0.2
     border_rm: int = 2
+    match_type: str = "dual_softmax"  # 'dual_softmax' | 'sinkhorn'
     dsmax_temperature: float = 0.1
+    skh_iters: int = 3
+    skh_init_bin_score: float = 1.0
     max_matches: int = 1024        # static top-k replacing dynamic filtering
     train_pad_num_gt_min: int = 200
     train_coarse_percent: float = 0.2
