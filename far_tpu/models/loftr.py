@@ -206,6 +206,18 @@ class FARLoFTR(nn.Module):
 
     # ------------------------------------------------------------------ #
 
+    def _solver_pose_in(self, summary: SolverSummary) -> jnp.ndarray:
+        cfg = self.config
+        pose9 = compute_normalized_6d(summary.rt)  # (B, 9)
+        parts = [pose9]
+        if cfg.regress.use_num_corres:
+            parts.append(summary.num_after[..., None] / 500.0)
+        if cfg.regress.use_many_ransac_thr:
+            parts.append(summary.num_before[..., None] / 500.0)
+            parts.append(summary.num_tight[..., None] / 500.0)
+            parts.append(summary.num_ultra_tight[..., None] / 500.0)
+        return jnp.concatenate(parts, axis=-1)
+
     def regress(
         self,
         feat_c0: jnp.ndarray,
@@ -218,21 +230,27 @@ class FARLoFTR(nn.Module):
         (reference loftr.py:137-192). The solver pose enters as a
         normalized 9D vector with the (scaled) correspondence counts.
         """
-        cfg = self.config
-        pose9 = compute_normalized_6d(summary.rt)  # (B, 9)
-        parts = [pose9]
-        if cfg.regress.use_num_corres:
-            parts.append(summary.num_after[..., None] / 500.0)
-        if cfg.regress.use_many_ransac_thr:
-            parts.append(summary.num_before[..., None] / 500.0)
-            parts.append(summary.num_tight[..., None] / 500.0)
-            parts.append(summary.num_ultra_tight[..., None] / 500.0)
-        solver_pose_in = jnp.concatenate(parts, axis=-1)
-
         pose_9d, gate, features = self.regressor(
-            feat_c0, feat_c1, solver_pose_in=solver_pose_in
+            feat_c0, feat_c1, solver_pose_in=self._solver_pose_in(summary)
         )
         return pose_9d, gate, features
+
+    def regress_features(self, feat_c0: jnp.ndarray, feat_c1: jnp.ndarray):
+        """EMM feature extraction only (solver-independent).
+
+        The refinement loop calls the regressor once per round, but the
+        EMM bilinear attention depends only on the coarse features — not
+        on the solver pose — so its output is identical across rounds
+        (the extra per-round LoFTR layers, when enabled, also ignore the
+        pose; the reference threads it into attention but the attention
+        implementations discard it). Computing it once halves the
+        regressor cost of the prior loop.
+        """
+        return self.regressor.features_only(feat_c0, feat_c1)
+
+    def regress_fuse(self, features: jnp.ndarray, summary: SolverSummary):
+        """MoE fusion of precomputed EMM features with a solver pose."""
+        return self.regressor.fuse(features, self._solver_pose_in(summary))
 
     # ------------------------------------------------------------------ #
 

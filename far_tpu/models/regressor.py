@@ -186,56 +186,67 @@ class PoseRegressorEMM(nn.Module):
     grid_hw: Tuple[int, int] = (60, 80)
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        feat0: jnp.ndarray,            # (B, N, C)
-        feat1: jnp.ndarray,
-        solver_pose_in: Optional[jnp.ndarray] = None,  # (B, 9 + extras)
-        inv_solver_pose_in: Optional[jnp.ndarray] = None,
-    ):
+    def setup(self):
         cfg = self.cfg
-        B, N, C = feat0.shape
-
         if cfg.num_loftr_layers > 0:
-            feat0, feat1 = LocalFeatureTransformer(
+            self.loftr_extra = LocalFeatureTransformer(
                 d_model=cfg.d_model, nhead=cfg.nhead_stack,
                 layer_names=tuple(cfg.layer_names) * cfg.num_loftr_layers,
-                attention=cfg.attention, dtype=self.dtype, name="loftr_extra",
-            )(feat0, feat1)
-
-        x = CrossBlockEMM(
+                attention=cfg.attention, dtype=self.dtype,
+            )
+        self.emm = CrossBlockEMM(
             dim=cfg.d_model, num_heads=cfg.emm_heads, grid_hw=self.grid_hw,
             use_pos_embedding=cfg.use_pos_embedding, dtype=self.dtype,
-            name="emm",
-        )(feat0, feat1)  # (B, 2*Dv, C)
-        x = nn.LayerNorm(dtype=self.dtype, epsilon=1e-6, name="norm")(x)
-        features = x.reshape(B, -1)  # (B, 2*Dv*C) == reference H
-
+        )
+        self.norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-6)
         hidden = cfg.hidden
-        pose_size = 9
+        dense = lambda n, name: nn.Dense(n, dtype=self.dtype, name=name)
+        if cfg.use_simple_moe:
+            self.encoder_0 = dense(hidden, "encoder_0")
+            self.encoder_1 = dense(hidden, "encoder_1")
+            self.pose_moe_0 = dense(hidden, "pose_moe_0")
+            self.pose_moe_1 = dense(9, "pose_moe_1")
+            if cfg.use_1wt:
+                n_wt = 1
+            elif cfg.use_2wt:
+                n_wt = 2
+            else:
+                n_wt = 9
+            self.moe_0 = dense(hidden, "moe_0")
+            self.moe_1 = dense(hidden, "moe_1")
+            self.moe_2 = dense(n_wt, "moe_2")
+        else:
+            self.pose_regressor_0 = dense(hidden, "pose_regressor_0")
+            self.pose_regressor_1 = dense(hidden, "pose_regressor_1")
+            self.pose_regressor_2 = dense(9, "pose_regressor_2")
+
+    def features_only(self, feat0: jnp.ndarray, feat1: jnp.ndarray):
+        """EMM bilinear features, flattened — independent of the solver."""
+        B = feat0.shape[0]
+        if self.cfg.num_loftr_layers > 0:
+            feat0, feat1 = self.loftr_extra(feat0, feat1)
+        x = self.emm(feat0, feat1)  # (B, 2*Dv, C)
+        x = self.norm(x)
+        return x.reshape(B, -1)     # (B, 2*Dv*C) == reference H
+
+    def fuse(self, features: jnp.ndarray,
+             solver_pose_in: Optional[jnp.ndarray] = None):
+        """Pose regression + MoE gating given precomputed features."""
+        cfg = self.cfg
 
         if not cfg.use_simple_moe:
-            y = nn.Dense(hidden, dtype=self.dtype, name="pose_regressor_0")(features)
-            y = nn.relu(y)
-            y = nn.Dense(hidden, dtype=self.dtype, name="pose_regressor_1")(y)
-            y = nn.relu(y)
-            pose = nn.Dense(pose_size, dtype=self.dtype, name="pose_regressor_2")(y)
+            y = nn.relu(self.pose_regressor_0(features))
+            y = nn.relu(self.pose_regressor_1(y))
+            pose = self.pose_regressor_2(y)
             return pose.astype(jnp.float32), None, features
 
-        # --- simple MoE path (the FAR fusion) ---------------------------
-        enc = nn.Dense(hidden, dtype=self.dtype, name="encoder_0")(features)
-        enc = nn.relu(enc)
-        enc = nn.Dense(hidden, dtype=self.dtype, name="encoder_1")(enc)
-
-        reg = nn.Dense(hidden, dtype=self.dtype, name="pose_moe_0")(enc)
-        reg = nn.relu(reg)
-        pred_reg_9d = nn.Dense(pose_size, dtype=self.dtype,
-                               name="pose_moe_1")(reg).astype(jnp.float32)
+        enc = nn.relu(self.encoder_0(features))
+        enc = self.encoder_1(enc)
+        reg = nn.relu(self.pose_moe_0(enc))
+        pred_reg_9d = self.pose_moe_1(reg).astype(jnp.float32)
 
         assert solver_pose_in is not None, "MoE path needs the solver pose"
         sp = solver_pose_in.astype(jnp.float32)  # (B, 9 + extras)
-        extras = sp.shape[-1] - pose_size
 
         reg_t = pred_reg_9d[..., :3]
         solver_t = sp[..., :3]
@@ -249,25 +260,15 @@ class PoseRegressorEMM(nn.Module):
             reg_t_un = reg_t * std_t + mean_t
             norm_reg = jnp.linalg.norm(reg_t_un, axis=-1, keepdims=True)
             norm_sol = jnp.clip(
-                jnp.linalg.norm(solver_t_un, axis=-1, keepdims=True), 1e-3, 100.0
-            )
+                jnp.linalg.norm(solver_t_un, axis=-1, keepdims=True),
+                1e-3, 100.0)
             solver_t = (solver_t_un * norm_reg / norm_sol - mean_t) / std_t
 
         gate_in = jnp.concatenate([features.astype(jnp.float32),
                                    pred_reg_9d, sp], axis=-1)
-        if cfg.use_1wt:
-            n_wt = 1
-        elif cfg.use_2wt:
-            n_wt = 2
-        else:
-            n_wt = pose_size
-        g = nn.Dense(hidden, dtype=self.dtype, name="moe_0")(gate_in)
-        g = nn.relu(g)
-        g = nn.Dense(hidden, dtype=self.dtype, name="moe_1")(g)
-        g = nn.relu(g)
-        gate = nn.sigmoid(
-            nn.Dense(n_wt, dtype=self.dtype, name="moe_2")(g)
-        ).astype(jnp.float32)
+        g = nn.relu(self.moe_0(gate_in))
+        g = nn.relu(self.moe_1(g))
+        gate = nn.sigmoid(self.moe_2(g)).astype(jnp.float32)
 
         if cfg.use_2wt:
             w_t = gate[..., 0:1]
@@ -281,5 +282,14 @@ class PoseRegressorEMM(nn.Module):
         pred_t = w_t * reg_t + (1.0 - w_t) * solver_t
         pred_r = w_r * pred_reg_9d[..., 3:] + (1.0 - w_r) * solver_rot
         pose = jnp.concatenate([pred_t, pred_r], axis=-1)
-        del extras
         return pose, gate, features
+
+    def __call__(
+        self,
+        feat0: jnp.ndarray,            # (B, N, C)
+        feat1: jnp.ndarray,
+        solver_pose_in: Optional[jnp.ndarray] = None,  # (B, 9 + extras)
+        inv_solver_pose_in: Optional[jnp.ndarray] = None,
+    ):
+        features = self.features_only(feat0, feat1)
+        return self.fuse(features, solver_pose_in)

@@ -249,6 +249,104 @@ class DeepResBlockHead(nn.Module):
         return pose, x3
 
 
+class ProcrustesHead(nn.Module):
+    """3D-3D correspondence head + differentiable Kabsch solve.
+
+    Equivalent of crockwell/far: mapfree_6dreg/lib/models/regression/
+    head.py ProcrustesDeepResBlock family: an MLP predicts num_pts 3D
+    anchors per camera (optionally offset by the orthonormal basis), and
+    the rigid pose comes from the closed-form weighted Procrustes solve
+    (far_tpu.geometry.procrustes — differentiable through SVD).
+    """
+
+    cfg: SixDRegConfig
+    num_pts: int = 6
+    add_basis: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from far_tpu.geometry.solvers import procrustes
+
+        dt = _dt(self.cfg)
+        B = x.shape[0]
+        x = PreActBlock(64, 2, dtype=dt, name="resblock1")(x, train)
+        x = PreActBlock(128, 2, dtype=dt, name="resblock2")(x, train)
+        x = PreActBlock(256, 2, dtype=dt, name="resblock3")(x, train)
+        x = PreActBlock(512, 2, dtype=dt, name="resblock4")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        y = nn.relu(nn.Dense(256, dtype=dt, name="mlp_0")(x))
+        xyz = nn.Dense(3 * self.num_pts, dtype=dt, name="mlp_1")(y)
+        xyz = xyz.reshape(B, -1, 3).astype(jnp.float32)
+
+        basis = jnp.tile(jnp.eye(3)[None], (B, 1, 1))
+        if self.num_pts == 3:
+            cor0, cor1 = basis, xyz
+        else:
+            half = self.num_pts // 2
+            cor0, cor1 = xyz[:, :half], xyz[:, half:]
+        if self.add_basis and self.num_pts in (3, 6):
+            if self.num_pts == 6:
+                cor0 = cor0 + basis
+            cor1 = cor1 + basis
+        R, t = procrustes(cor0, cor1)
+        return R, t
+
+
+class AngularBinsHead(nn.Module):
+    """Classification-style head: Euler-angle bins for R, optional
+    spherical bins + scale for t (reference head.py:284-338)."""
+
+    cfg: SixDRegConfig
+    separate_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = _dt(self.cfg)
+        B = x.shape[0]
+        x = PreActBlock(64, 2, dtype=dt, name="resblock1")(x, train)
+        x = PreActBlock(128, 2, dtype=dt, name="resblock2")(x, train)
+        x = PreActBlock(256, 2, dtype=dt, name="resblock3")(x, train)
+        x = PreActBlock(512, 2, dtype=dt, name="resblock4")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        out_dims = 900 + (541 if self.separate_scale else 3)
+        out = nn.Dense(out_dims, dtype=dt, name="mlp")(x).astype(jnp.float32)
+
+        R_bins = out[:, :900]
+        ax = jnp.argmax(R_bins[:, :360], -1).astype(jnp.float32) - 180.0
+        ay = jnp.argmax(R_bins[:, 360:540], -1).astype(jnp.float32) - 90.0
+        az = jnp.argmax(R_bins[:, 540:900], -1).astype(jnp.float32) - 180.0
+
+        def euler_xyz(ax, ay, az):
+            a, b, c = (jnp.radians(v) for v in (ax, ay, az))
+            ca, sa = jnp.cos(a), jnp.sin(a)
+            cb, sb = jnp.cos(b), jnp.sin(b)
+            cc, sc = jnp.cos(c), jnp.sin(c)
+            Rx = jnp.stack([jnp.ones_like(a), 0 * a, 0 * a,
+                            0 * a, ca, -sa, 0 * a, sa, ca],
+                           -1).reshape(-1, 3, 3)
+            Ry = jnp.stack([cb, 0 * b, sb, 0 * b, jnp.ones_like(b), 0 * b,
+                            -sb, 0 * b, cb], -1).reshape(-1, 3, 3)
+            Rz = jnp.stack([cc, -sc, 0 * c, sc, cc, 0 * c,
+                            0 * c, 0 * c, jnp.ones_like(c)],
+                           -1).reshape(-1, 3, 3)
+            return Rz @ Ry @ Rx
+
+        R = euler_xyz(ax, ay, az)
+        if self.separate_scale:
+            phi = jnp.radians(
+                jnp.argmax(out[:, 900:1260], -1).astype(jnp.float32))
+            theta = jnp.radians(
+                jnp.argmax(out[:, 1260:1440], -1).astype(jnp.float32))
+            scale = jnp.abs(out[:, -1])
+            t = scale[:, None] * jnp.stack(
+                [jnp.cos(phi) * jnp.sin(theta),
+                 jnp.sin(phi) * jnp.sin(theta),
+                 jnp.cos(theta)], -1)
+        else:
+            t = out[:, 900:903]
+        return R, t, out[:, :900]
+
+
 class TorchTransformerEncoderLayer(nn.Module):
     """Post-LN transformer encoder layer (torch nn.TransformerEncoderLayer
     defaults: ReLU FFN of 2048, norm after residual)."""

@@ -82,6 +82,12 @@ def far_forward(
     m = out.matches
     num_before = jnp.sum(m.valid.astype(jnp.float32), axis=-1)
 
+    # EMM features are solver-independent -> computed once for all rounds
+    features = model.apply(
+        variables, out.feat_c0, out.feat_c1,
+        method=FARLoFTR.regress_features, mutable=False,
+    )
+
     k0, k1 = jax.random.split(key)
     est = estimate_pose(
         k0, m.mkpts0_f, m.mkpts1_f, batch.K0, batch.K1, m.valid,
@@ -89,8 +95,8 @@ def far_forward(
     )
     summary = _summarize(est, num_before)
     pose_9d, gate, _ = model.apply(
-        variables, out.feat_c0, out.feat_c1, summary,
-        method=FARLoFTR.regress, mutable=False,
+        variables, features, summary,
+        method=FARLoFTR.regress_fuse, mutable=False,
     )
     prior_rt = denormalize_9d(pose_9d)
 
@@ -103,8 +109,8 @@ def far_forward(
         )
         summary = _summarize(est, num_before)
         pose_9d, gate, _ = model.apply(
-            variables, out.feat_c0, out.feat_c1, summary,
-            method=FARLoFTR.regress, mutable=False,
+            variables, features, summary,
+            method=FARLoFTR.regress_fuse, mutable=False,
         )
         prior_rt = denormalize_9d(pose_9d)
 
@@ -175,6 +181,42 @@ def mapfree_forward(
         )
         prior_rt = jnp.concatenate([R, t[..., None]], -1)
     return R, t, gate, est
+
+
+def vitess_forward(
+    vitess_model,
+    vitess_vars: Dict[str, Any],
+    images: jnp.ndarray,                 # (B, 2, H, W, 3) RGB in [0, 1]
+    matcher: Optional[FARLoFTR] = None,
+    matcher_vars: Optional[Dict[str, Any]] = None,
+    matcher_batch: Optional[PairBatch] = None,
+    key: Optional[jax.Array] = None,
+):
+    """8pt-ViT inference, optionally FAR-gated by a solver pose.
+
+    Equivalent of the reference eval path
+    (interiornetStreetlearn_8ptVit/test_streetlearn_interiornet.py:91-150):
+    the reference gates with *cached* LoFTR predictions; here the matcher
+    + on-device solver produce them inline when provided.
+
+    Returns (tran (B, 3), R (B, 3, 3), pose_9d, gate).
+    """
+    solver_pose = None
+    num_corr = None
+    if matcher is not None:
+        m_out = matcher.apply(
+            matcher_vars, matcher_batch, train=False,
+            method=FARLoFTR.match, mutable=False,
+        )
+        m = m_out.matches
+        est = estimate_pose(
+            key, m.mkpts0_f, m.mkpts1_f, matcher_batch.K0, matcher_batch.K1,
+            m.valid, cfg=SolverConfig(solver="prior_ransac_noprior"),
+        )
+        solver_pose = est.rt34
+        num_corr = est.num_inliers
+    return vitess_model.apply(
+        vitess_vars, images, solver_pose, num_corr, mutable=False)
 
 
 def build_inference_fn(model: FARLoFTR):

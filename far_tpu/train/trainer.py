@@ -94,15 +94,21 @@ def make_train_step(model: FARLoFTR, tx: optax.GradientTransformation):
             kp1 = jax.lax.stop_gradient(m.mkpts1_f)
             valid = m.valid
             num_before = jnp.sum(valid.astype(jnp.float32), -1)
+            variables_now = {"params": params,
+                             "batch_stats": new_state["batch_stats"]}
+            # EMM features are solver-independent -> one pass per step
+            features = model.apply(
+                variables_now, out.feat_c0, out.feat_c1,
+                method=FARLoFTR.regress_features, mutable=False,
+            )
             k0, k1 = jax.random.split(key)
             est = estimate_pose(
                 k0, kp0, kp1, batch.K0, batch.K1, valid, cfg=first_cfg
             )
             summary = _summarize(est, num_before)
             pose_9d, gate, _ = model.apply(
-                {"params": params, "batch_stats": new_state["batch_stats"]},
-                out.feat_c0, out.feat_c1, summary,
-                method=FARLoFTR.regress, mutable=False,
+                variables_now, features, summary,
+                method=FARLoFTR.regress_fuse, mutable=False,
             )
             # refinement rounds: prior comes from a detached copy
             keys = jax.random.split(k1, max(cfg.solver.fine_pred_steps - 1, 0))
@@ -114,9 +120,8 @@ def make_train_step(model: FARLoFTR, tx: optax.GradientTransformation):
                 )
                 summary = _summarize(est, num_before)
                 pose_9d, gate, _ = model.apply(
-                    {"params": params, "batch_stats": new_state["batch_stats"]},
-                    out.feat_c0, out.feat_c1, summary,
-                    method=FARLoFTR.regress, mutable=False,
+                    variables_now, features, summary,
+                    method=FARLoFTR.regress_fuse, mutable=False,
                 )
 
         losses = compute_losses(

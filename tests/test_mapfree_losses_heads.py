@@ -1,0 +1,81 @@
+"""Map-free loss registry + extra head variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from far_tpu.geometry import quaternion_to_matrix
+from far_tpu.models.sixdreg import (
+    AngularBinsHead,
+    ProcrustesHead,
+    SixDRegConfig,
+)
+from far_tpu.train.mapfree_losses import (
+    ROT_LOSSES,
+    TRANS_LOSSES,
+    combined_loss,
+)
+
+
+def rand_R(rng, n):
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return np.asarray(quaternion_to_matrix(jnp.asarray(q)))
+
+
+class TestLossRegistry:
+    def test_all_rot_losses_zero_at_identity(self, rng):
+        R = jnp.asarray(rand_R(rng, 4), jnp.float32)
+        for name, fn in ROT_LOSSES.items():
+            if name == "rot_bin_loss":
+                continue
+            v = float(fn(R, R))
+            assert v < 1e-4, (name, v)
+            # and positive for different rotations
+            R2 = jnp.asarray(rand_R(rng, 4), jnp.float32)
+            assert float(fn(R, R2)) > v
+
+    def test_all_trans_losses(self, rng):
+        t = jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)
+        for name, fn in TRANS_LOSSES.items():
+            assert float(fn(t, t)) < 1e-3, name
+            assert float(fn(t, t * 2 + 1.0)) > 0
+
+    def test_combined_homoscedastic(self, rng):
+        R = jnp.asarray(rand_R(rng, 2), jnp.float32)
+        t = jnp.asarray(rng.normal(size=(2, 3)), jnp.float32)
+        total, parts = combined_loss(R, t, R, t * 1.5, lam=0.0,
+                                     s_r=jnp.asarray(0.0),
+                                     s_t=jnp.asarray(0.0))
+        assert np.isfinite(float(total))
+
+    def test_bin_loss_prefers_correct_bin(self):
+        logits = jnp.zeros((1, 900)).at[0, 200].set(10.0)  # x bin 200 = 20deg
+        gt_right = jnp.asarray([[20.0, 0.0, 0.0]])
+        gt_wrong = jnp.asarray([[-100.0, 0.0, 0.0]])
+        fn = ROT_LOSSES["rot_bin_loss"]
+        assert float(fn(logits, gt_right)) < float(fn(logits, gt_wrong))
+
+
+class TestExtraHeads:
+    def test_procrustes_head(self, rng):
+        cfg = SixDRegConfig(dtype="float32")
+        head = ProcrustesHead(cfg, num_pts=6)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+        vs = head.init(jax.random.PRNGKey(0), x)
+        R, t = head.apply(vs, x, mutable=False)
+        RRt = np.asarray(jnp.matmul(R, jnp.swapaxes(R, -1, -2)))
+        np.testing.assert_allclose(RRt, np.tile(np.eye(3), (2, 1, 1)),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(jnp.linalg.det(R)), 1.0,
+                                   atol=1e-4)
+
+    def test_angular_bins_head(self, rng):
+        cfg = SixDRegConfig(dtype="float32")
+        head = AngularBinsHead(cfg)
+        x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)), jnp.float32)
+        vs = head.init(jax.random.PRNGKey(0), x)
+        R, t, bins = head.apply(vs, x, mutable=False)
+        RRt = np.asarray(R[0] @ R[0].T)
+        np.testing.assert_allclose(RRt, np.eye(3), atol=1e-4)
+        assert bins.shape == (1, 900)

@@ -70,3 +70,30 @@ class TestAux:
         np.testing.assert_array_equal(m["a"], np.arange(4.0))
         mesh = local_mesh()
         assert mesh.devices.size == 8
+
+
+class TestViTEssPipeline:
+    def test_gated_inference(self, rng):
+        import dataclasses
+
+        from far_tpu.models.vitess import ViTEss, ViTEssConfig
+        from far_tpu.pipeline import init_model, vitess_forward
+
+        mcfg = small_config()
+        matcher, m_vars = init_model(mcfg, seed=0, batch_size=1)
+        batch = make_batch(rng, mcfg, B=1)
+
+        vcfg = ViTEssConfig(dim=48, depth=2, num_heads=3, fc_hidden=64,
+                            use_loftr_gating=True, dtype="float32")
+        vit = ViTEss(vcfg)
+        imgs = jnp.asarray(rng.uniform(size=(1, 2, 96, 96, 3)), jnp.float32)
+        v_vars = vit.init(jax.random.PRNGKey(3), imgs,
+                          jnp.tile(jnp.eye(3, 4)[None], (1, 1, 1)),
+                          jnp.ones((1,)))
+        tran, R, pose9, gate = vitess_forward(
+            vit, v_vars, imgs, matcher, m_vars, batch,
+            jax.random.PRNGKey(4))
+        assert gate.shape == (1, 2)
+        assert np.isfinite(np.asarray(tran)).all()
+        RRt = np.asarray(R[0] @ R[0].T)
+        np.testing.assert_allclose(RRt, np.eye(3), atol=1e-3)
