@@ -66,7 +66,13 @@ class RansacConfig:
 def _sample_indices(
     key: jax.Array, logw: jnp.ndarray, num_hyp: int, sample_size: int
 ) -> jnp.ndarray:
-    """Weighted sampling without replacement via Gumbel-top-k.
+    """Weighted sampling WITH replacement via inverse-CDF.
+
+    Matches the reference's np.random.choice(replace=True) semantics
+    (ransac.py:169). The inverse CDF is evaluated as a vectorized
+    compare-and-count — the Gumbel-top-k alternative costs a slow TPU
+    top_k over num_hyp * N lanes (~17 ms/batch at production sizes vs
+    ~2 ms for this).
 
     Args:
         logw: (B, N) log sampling weights (-inf for invalid points).
@@ -74,9 +80,16 @@ def _sample_indices(
         (B, num_hyp, sample_size) int32 indices.
     """
     B, N = logw.shape
-    g = jax.random.gumbel(key, (B, num_hyp, N), logw.dtype)
-    _, idx = jax.lax.top_k(logw[:, None, :] + g, sample_size)
-    return idx
+    w = jnp.exp(logw - jnp.max(logw, axis=-1, keepdims=True))
+    cdf = jnp.cumsum(w, axis=-1)
+    total = cdf[:, -1:]
+    u = jax.random.uniform(key, (B, num_hyp, sample_size), jnp.float32)
+    u = u * total[:, :, None]
+    # index = #{cdf < u}; cdf is monotone so a sum of compares inverts it
+    idx = jnp.sum(
+        (cdf[:, None, None, :] < u[..., None]).astype(jnp.int32), axis=-1
+    )
+    return jnp.minimum(idx, N - 1)
 
 
 def _epipolar_error(cfg: RansacConfig, p1, p2, E):
