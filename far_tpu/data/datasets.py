@@ -296,13 +296,19 @@ class SyntheticPairDataset:
         t = prng.uniform(-0.3, 0.3, 3)
         t[2] = abs(t[2]) * 0.3
 
-        # world plane points sampled on a grid; project into both views;
-        # rasterize by nearest splat
+        # world surface points sampled on a grid; project into both views;
+        # rasterize by nearest splat. The surface carries smooth depth
+        # relief — a pure plane makes essential-matrix estimation
+        # degenerate (homography ambiguity), which would defeat the
+        # solver tests this dataset exists for.
         gy, gx = np.mgrid[0:th, 0:tw]
+        relief = rng.normal(size=(8, 8))
+        relief = np.kron(relief, np.ones((th // 8, tw // 8)))
+        relief = relief[:th, :tw]
         Xw = np.stack([
             (gx / (tw - 1) - 0.5) * 6.0,
             (gy / (th - 1) - 0.5) * 6.0,
-            np.full(gx.shape, z0),
+            z0 + relief * 0.8,
         ], -1).reshape(-1, 3)
         vals = tex.reshape(-1)
 
