@@ -21,25 +21,14 @@ from far_tpu.models.transformer import LocalFeatureTransformer
 from far_tpu.utils.config import FineConfig
 
 
-def gather_windows(
+def gather_windows_pointwise(
     feat_f: jnp.ndarray,
     ids: jnp.ndarray,
     coarse_hw: Tuple[int, int],
     stride: int,
     window: int,
 ) -> jnp.ndarray:
-    """Gather WxW windows of the fine map centered at coarse cells.
-
-    The reference's F.unfold(kernel=W, stride=stride, padding=W//2)
-    window l is centered at fine pixel (stride*y_l, stride*x_l) with zero
-    padding; we reproduce that with clamped gathers + a zero mask.
-
-    Args:
-        feat_f: (B, Hf, Wf, C) fine features.
-        ids: (B, K) coarse grid indices.
-    Returns:
-        (B, K, W*W, C)
-    """
+    """Reference implementation: per-element clamped gather + zero mask."""
     B, Hf, Wf, C = feat_f.shape
     hc, wc = coarse_hw
     r = window // 2
@@ -61,6 +50,52 @@ def gather_windows(
     out = jnp.take_along_axis(flat, idx[..., None], axis=1)
     out = out.reshape(B, ids.shape[1], window * window, C)
     return out * inb[..., None]
+
+
+def gather_windows(
+    feat_f: jnp.ndarray,
+    ids: jnp.ndarray,
+    coarse_hw: Tuple[int, int],
+    stride: int,
+    window: int,
+) -> jnp.ndarray:
+    """Gather WxW windows of the fine map centered at coarse cells.
+
+    The reference's F.unfold(kernel=W, stride=stride, padding=W//2)
+    window l is centered at fine pixel (stride*y_l, stride*x_l) with zero
+    padding. Window centers always lie on the coarse grid, so all L
+    candidate windows are W*W shifted strided slices of the (padded)
+    fine map; building them first turns the K-window lookup into a
+    single big-row gather (25x fewer, 25x larger rows) — much friendlier
+    to the TPU gather path than the per-element version.
+
+    Args:
+        feat_f: (B, Hf, Wf, C) fine features.
+        ids: (B, K) coarse grid indices.
+    Returns:
+        (B, K, W*W, C)
+    """
+    B, Hf, Wf, C = feat_f.shape
+    hc, wc = coarse_hw
+    r = window // 2
+    WW = window * window
+
+    fpad = jnp.pad(feat_f, ((0, 0), (r, r), (r, r), (0, 0)))
+    slices = []
+    for dy in range(window):
+        for dx in range(window):
+            s = jax.lax.slice(
+                fpad,
+                (0, dy, dx, 0),
+                (B, dy + (hc - 1) * stride + 1,
+                 dx + (wc - 1) * stride + 1, C),
+                (1, stride, stride, 1),
+            )  # (B, hc, wc, C)
+            slices.append(s)
+    allw = jnp.stack(slices, axis=3)  # (B, hc, wc, WW, C)
+    flat = allw.reshape(B, hc * wc, WW * C)
+    out = jnp.take_along_axis(flat, ids[..., None], axis=1)
+    return out.reshape(B, ids.shape[1], WW, C)
 
 
 class FinePreprocess(nn.Module):

@@ -1,0 +1,27 @@
+"""Equivalence of the strided-slice window gather vs the pointwise one."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from far_tpu.models.fine import gather_windows, gather_windows_pointwise
+
+
+def test_gather_windows_equivalence(rng):
+    B, Hf, Wf, C = 2, 24, 32, 8
+    hc, wc, stride, W = 6, 8, 4, 5
+    feat = jnp.asarray(rng.normal(size=(B, Hf, Wf, C)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, hc * wc, size=(B, 16)), jnp.int32)
+    a = gather_windows(feat, ids, (hc, wc), stride, W)
+    b = gather_windows_pointwise(feat, ids, (hc, wc), stride, W)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gather_windows_border_zero_pad(rng):
+    """Cells on the image border read zeros outside (unfold padding)."""
+    B, Hf, Wf, C = 1, 8, 8, 2
+    feat = jnp.ones((B, Hf, Wf, C), jnp.float32)
+    ids = jnp.asarray([[0]], jnp.int32)  # top-left cell, center (0, 0)
+    out = gather_windows(feat, ids, (2, 2), 4, 5)
+    w = np.asarray(out[0, 0]).reshape(5, 5, C)
+    assert (w[:2, :, :] == 0).all() and (w[:, :2, :] == 0).all()
+    assert (w[2:, 2:, :] == 1).all()
