@@ -71,3 +71,27 @@ class TestDemoCLI:
         rt = main(argv)
         assert rt.shape == (3, 4)
         assert np.isfinite(rt).all()
+
+
+class TestPrecomputeCLI:
+    def test_precompute_sift(self, tmp_path):
+        from far_tpu.cli.precompute import main
+
+        out = tmp_path / "corr.npz"
+        main(["--dataset", "synthetic", "--image_size", "64x64",
+              "--n_synthetic", "2", "--matcher", "sift",
+              "--out", str(out), "--dtype", "float32"])
+        z = np.load(out)
+        assert len(z.files) == 2
+
+    def test_precompute_loftr(self, tmp_path):
+        from far_tpu.cli.precompute import main
+
+        out = tmp_path / "corr_l.npz"
+        argv = ["--dataset", "synthetic", "--image_size", "64x64",
+                "--n_synthetic", "1", "--matcher", "loftr",
+                "--out", str(out), "--dtype", "float32"]
+        for s in _SMALL_SETS:
+            argv += ["--set", s]
+        main(argv)
+        assert np.load(out).files
