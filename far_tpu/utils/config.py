@@ -116,6 +116,15 @@ class FARConfig:
     predict_translation_scale: bool = False
     dtype: str = "float32"  # compute dtype: 'float32' | 'bfloat16'
 
+    def __post_init__(self):
+        s = self.backbone.resolution[0]
+        H, W = self.image_size
+        if H % s or W % s:
+            raise ValueError(
+                f"image_size {self.image_size} must be divisible by the "
+                f"coarse stride {s} (the FPN halves/doubles resolutions; "
+                f"odd sizes break the skip connections)")
+
     @property
     def coarse_hw(self) -> Tuple[int, int]:
         s = self.backbone.resolution[0]
