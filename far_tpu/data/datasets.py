@@ -242,6 +242,52 @@ class MapFreeDataset:
         return self.scenes[s][idx - int(self._offsets[s])]
 
 
+class CachedCorrespondenceDataset:
+    """Correspondence-only training set with corruption ablations.
+
+    Equivalent of crockwell/far: mp3d_loftr/src/datasets/mp3d.py
+    Mp3dLightDataset (:269-298): wraps a base pair dataset, replaces the
+    images with cached matcher correspondences (an .npz shard produced by
+    far_tpu.cli.precompute), and applies the outlier/noise/missing/
+    dropout fault-injection ablations. Feeds the SimpleTransformer
+    baseline and the solver-robustness studies.
+    """
+
+    def __init__(self, base_dataset, corr_npz, max_matches: int = 1024,
+                 outlier_pct: float = 0.0, noise_pix: float = 0.0,
+                 missing_pct: float = 0.0, corr_dropout: float = 0.0,
+                 image_hw: Tuple[int, int] = (480, 640), seed: int = 0):
+        from far_tpu.models.feature_matching import PrecomputedMatching
+
+        self.base = base_dataset
+        self.matcher = PrecomputedMatching(corr_npz, max_matches)
+        self.ablate = dict(outlier_pct=outlier_pct, noise_pix=noise_pix,
+                           missing_pct=missing_pct,
+                           corr_dropout=corr_dropout)
+        self.image_hw = image_hw
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Dict:
+        from far_tpu.data.corruption import corrupt_correspondences
+
+        s = dict(self.base[idx])
+        n0, n1 = s["pair_names"]
+        p0, p1, valid = self.matcher.match(n0, n1)
+        corr = np.stack([p0, p1], axis=1)  # (K, 2, 2)
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        corr, valid = corrupt_correspondences(
+            corr, valid, rng, image_hw=self.image_hw, **self.ablate)
+        s["correspondences"] = corr.astype(np.float32)
+        s["corr_valid"] = valid
+        s["num_correspondences"] = np.asarray(valid.sum(), np.float32)
+        s.pop("image0", None)
+        s.pop("image1", None)
+        return s
+
+
 class SyntheticPairDataset:
     """Procedural image pairs with exact GT pose and depth.
 

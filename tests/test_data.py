@@ -158,3 +158,37 @@ class TestSyntheticAndLoader:
         assert s["image0"].shape == (48, 64, 1)
         np.testing.assert_allclose(
             s["T_0to1"][:3, 3], [0.1, -0.2, -0.3], atol=1e-6)
+
+
+class TestCachedCorrespondences:
+    def test_cached_dataset_with_ablation(self, tmp_path):
+        """precompute -> cached dataset -> corrupted correspondence batch."""
+        from far_tpu.data.datasets import CachedCorrespondenceDataset
+        from far_tpu.geometry import warp_kpts
+        from far_tpu.models.feature_matching import precompute_matches
+
+        base = SyntheticPairDataset(n=4, hw=(64, 64))
+        rng2 = np.random.default_rng(1)
+
+        def oracle(sample):
+            ys, xs = np.where(sample["depth0"] > 0)
+            pts0 = np.stack([xs, ys], -1)[:64].astype(np.float32)
+            _, w = warp_kpts(
+                jnp.asarray(pts0)[None],
+                jnp.asarray(sample["depth0"])[None],
+                jnp.asarray(sample["depth1"])[None],
+                jnp.asarray(sample["T_0to1"][:3])[None],
+                jnp.asarray(sample["K0"])[None],
+                jnp.asarray(sample["K1"])[None])
+            return pts0, np.asarray(w[0])
+
+        path = tmp_path / "corr.npz"
+        precompute_matches(base, range(4), oracle, path)
+
+        ds = CachedCorrespondenceDataset(
+            base, path, max_matches=128, missing_pct=0.25,
+            image_hw=(64, 64))
+        s = ds[0]
+        assert s["correspondences"].shape == (128, 2, 2)
+        assert "image0" not in s
+        assert 40 <= s["num_correspondences"] <= 50  # 64 * 0.75
