@@ -222,6 +222,54 @@ class CorrelationVolumeWarping(nn.Module):
         return out.reshape(B, H, W, -1).astype(vol0.dtype)
 
 
+class CorrelationVolumeWarpingQKV(nn.Module):
+    """Learned-projection variant: Q/K from vol0/vol1, V = vol1
+    (reference aggregator.py:119-199). Optionally residual projections."""
+
+    cfg: SixDRegConfig
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, vol0, vol1):
+        cfg = self.cfg
+        dt = _dt(cfg)
+        B, H, W, D = vol0.shape
+        N = H * W
+        f0 = vol0.reshape(B, N, D)
+        f1 = vol1.reshape(B, N, D)
+        q = nn.Dense(D, dtype=dt, name="q_proj")(f0)
+        k = nn.Dense(D, dtype=dt, name="k_proj")(f1)
+        if self.residual:
+            q = q + f0
+            k = k + f1
+        sim = jnp.einsum("bnc,bmc->bnm", q.astype(jnp.float32),
+                         k.astype(jnp.float32)) / D ** 0.5
+        cvol = jax.nn.softmax(sim, axis=2)
+        warped = jnp.einsum("bnm,bmc->bnc", cvol, f1.astype(jnp.float32))
+        parts = [f0.astype(jnp.float32), warped]
+        if cfg.position_encoder:
+            u = jnp.linspace(-1.0, 1.0, H)
+            v = jnp.linspace(-1.0, 1.0, W)
+            uu, vv = jnp.meshgrid(u, v, indexing="ij")
+            grid = jnp.stack([uu, vv], -1).reshape(N, 2)
+            parts.append(jnp.einsum("bnm,md->bnd", cvol, grid))
+        if cfg.max_score_channel:
+            parts.append(jnp.max(cvol, axis=2, keepdims=True))
+        out = jnp.concatenate(parts, axis=-1)
+        return out.reshape(B, H, W, -1).astype(vol0.dtype)
+
+
+class ConcatAggregator(nn.Module):
+    """No-warping ablation: channel-concat of the two volumes
+    (reference aggregator 'Concat' option, 3d3d_no_warping.yaml)."""
+
+    cfg: SixDRegConfig
+
+    @nn.compact
+    def __call__(self, vol0, vol1):
+        return jnp.concatenate([vol0, vol1], axis=-1)
+
+
 class DeepResBlockHead(nn.Module):
     """Four pre-act stages; returns (pose9d|None, stage-3 features).
 
@@ -345,6 +393,85 @@ class AngularBinsHead(nn.Module):
         else:
             t = out[:, 900:903]
         return R, t, out[:, :900]
+
+
+class QuaternionHead(nn.Module):
+    """Quaternion rotation + scaled-direction translation head
+    (reference head.py QuatDeepResBlock family)."""
+
+    cfg: SixDRegConfig
+    separate_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = _dt(self.cfg)
+        B = x.shape[0]
+        x = PreActBlock(64, 2, dtype=dt, name="resblock1")(x, train)
+        x = PreActBlock(128, 2, dtype=dt, name="resblock2")(x, train)
+        x = PreActBlock(256, 2, dtype=dt, name="resblock3")(x, train)
+        x = PreActBlock(512, 2, dtype=dt, name="resblock4")(x, train)
+        x = jnp.mean(x, axis=(1, 2))
+        out_dim = 4 + (4 if self.separate_scale else 3)
+        out = nn.Dense(out_dim, dtype=dt, name="mlp")(x).astype(jnp.float32)
+        from far_tpu.geometry.rotations import quaternion_to_matrix
+
+        q = out[:, :4] / (jnp.linalg.norm(out[:, :4], axis=-1,
+                                          keepdims=True) + 1e-8)
+        R = quaternion_to_matrix(q)
+        if self.separate_scale:
+            direction = out[:, 4:7]
+            direction = direction / (jnp.linalg.norm(
+                direction, axis=-1, keepdims=True) + 1e-8)
+            t = jnp.abs(out[:, 7:8]) * direction
+        else:
+            t = out[:, 4:7]
+        return R, t, q
+
+
+class FeatureMatchingModel:
+    """Classical baseline: matcher -> solver -> (R, t).
+
+    Equivalent of crockwell/far: mapfree_6dreg/lib/models/matching/
+    model.py (FeatureMatchingModel) wired to the on-device solvers:
+    essential (up-to-scale), essential+metric-depth, or PnP.
+    """
+
+    def __init__(self, matcher, solver: str = "essential",
+                 pixel_thr: float = 2.0, scale_threshold: float = 0.1):
+        self.matcher = matcher  # .match(img0, img1) -> (p0, p1, valid)
+        self.solver = solver
+        self.pixel_thr = pixel_thr
+        self.scale_threshold = scale_threshold
+
+    def estimate(self, key, img0, img1, K0, K1,
+                 depth0=None, depth1=None):
+        import jax.numpy as jnp
+
+        from far_tpu.solvers import SolverConfig, estimate_pose
+        from far_tpu.solvers.metric import metric_scale_ransac, pnp_ransac
+
+        p0, p1, valid = self.matcher.match(img0, img1)
+        p0 = jnp.asarray(p0)[None]
+        p1 = jnp.asarray(p1)[None]
+        valid = jnp.asarray(valid)[None]
+        K0j = jnp.asarray(K0)[None]
+        K1j = jnp.asarray(K1)[None]
+
+        if self.solver == "pnp":
+            R, t, n_inl, ok = pnp_ransac(
+                key, p0, p1, jnp.asarray(depth0)[None], K0j, K1j, valid)
+            return R[0], t[0], float(n_inl[0])
+
+        est = estimate_pose(
+            key, p0, p1, K0j, K1j, valid,
+            cfg=SolverConfig(solver="ransac", pixel_thr=self.pixel_thr))
+        if self.solver == "essential_metric" and depth0 is not None:
+            t_m, votes, ok = metric_scale_ransac(
+                est.R, est.t, p0, p1, jnp.asarray(depth0)[None],
+                jnp.asarray(depth1)[None], K0j, K1j, est.inliers,
+                self.scale_threshold)
+            return est.R[0], t_m[0], float(est.num_inliers[0])
+        return est.R[0], est.t[0], float(est.num_inliers[0])
 
 
 class TorchTransformerEncoderLayer(nn.Module):

@@ -79,3 +79,67 @@ class TestExtraHeads:
         RRt = np.asarray(R[0] @ R[0].T)
         np.testing.assert_allclose(RRt, np.eye(3), atol=1e-4)
         assert bins.shape == (1, 900)
+
+
+class TestAggregatorVariants:
+    def test_qkv_and_concat(self, rng):
+        from far_tpu.models.sixdreg import (
+            ConcatAggregator,
+            CorrelationVolumeWarpingQKV,
+        )
+
+        cfg = SixDRegConfig(dtype="float32")
+        vol = jnp.asarray(rng.normal(size=(1, 4, 4, 8)), jnp.float32)
+        qkv = CorrelationVolumeWarpingQKV(cfg)
+        vs = qkv.init(jax.random.PRNGKey(0), vol, vol)
+        out = qkv.apply(vs, vol, vol, mutable=False)
+        assert out.shape == (1, 4, 4, 8 + 8 + 2 + 1)
+        cat = ConcatAggregator(cfg).apply({}, vol, vol)
+        assert cat.shape == (1, 4, 4, 16)
+
+
+class TestQuaternionHead:
+    def test_output_is_rotation(self, rng):
+        from far_tpu.models.sixdreg import QuaternionHead
+
+        cfg = SixDRegConfig(dtype="float32")
+        head = QuaternionHead(cfg)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
+        vs = head.init(jax.random.PRNGKey(0), x)
+        R, t, q = head.apply(vs, x, mutable=False)
+        RRt = np.asarray(jnp.matmul(R, jnp.swapaxes(R, -1, -2)))
+        np.testing.assert_allclose(RRt, np.tile(np.eye(3), (2, 1, 1)),
+                                   atol=1e-4)
+
+
+class TestFeatureMatchingModel:
+    def test_oracle_matcher_pose(self, rng):
+        """matcher->solver baseline recovers the pose with oracle matches."""
+        import jax as _jax
+
+        from far_tpu.data import SyntheticPairDataset
+        from far_tpu.geometry import geodesic_distance, warp_kpts
+        from far_tpu.models.sixdreg import FeatureMatchingModel
+
+        s = SyntheticPairDataset(n=1, hw=(240, 320))[0]
+
+        class OracleMatcher:
+            def match(self, img0, img1):
+                ys, xs = np.where(s["depth0"] > 0)
+                sel = np.linspace(0, len(xs) - 1, 256).astype(int)
+                p0 = np.stack([xs[sel], ys[sel]], -1).astype(np.float32)
+                valid, w = warp_kpts(
+                    jnp.asarray(p0)[None], jnp.asarray(s["depth0"])[None],
+                    jnp.asarray(s["depth1"])[None],
+                    jnp.asarray(s["T_0to1"][:3])[None],
+                    jnp.asarray(s["K0"])[None], jnp.asarray(s["K1"])[None])
+                return p0, np.asarray(w[0]), np.asarray(valid[0])
+
+        model = FeatureMatchingModel(OracleMatcher(), solver="essential",
+                                     pixel_thr=1.0)
+        R, t, n = model.estimate(_jax.random.PRNGKey(0), None, None,
+                                 s["K0"], s["K1"])
+        err = np.degrees(float(geodesic_distance(
+            R, jnp.asarray(s["T_0to1"][:3, :3]))))
+        assert err < 3.0, err
+        assert n > 50
