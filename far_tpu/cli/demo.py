@@ -1,12 +1,15 @@
 """Single-pair pose demo.
 
-Equivalent of crockwell/far: mp3d_loftr/demo.py (and
-mapfree_6dreg/demo.py): loads two images (or renders a synthetic pair),
+Equivalent of crockwell/far: mp3d_loftr/demo.py and
+mapfree_6dreg/demo.py: loads two images (or renders a synthetic pair),
 runs the full FAR loop once, and prints the predicted [R|t].
 
     python -m far_tpu.cli.demo --image0 a.png --image1 b.png \
         --fx 517.97 --fy 517.97 --cx 320 --cy 240
     python -m far_tpu.cli.demo --synthetic --image_size 64x64
+    # map-free family (metric 6DReg regressor + MoE, 2-round prior loop):
+    python -m far_tpu.cli.demo --mapfree --image0 a.jpg --image1 b.jpg \
+        --fx 1672 --fy 1672 --cx 540 --cy 960
 """
 
 from __future__ import annotations
@@ -35,8 +38,71 @@ def parse_args(argv=None):
     p.add_argument("--cy", type=float, default=240.0)
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--mapfree", action="store_true",
+                   help="use the map-free 6DReg pipeline (metric t)")
+    p.add_argument("--reg_size", default="368x272",
+                   help="HxW of the map-free regressor input")
     p.add_argument("--set", dest="overrides", action="append", default=[])
     return p.parse_args(argv)
+
+
+def run_mapfree(args, img0, img1, K, gt):
+    """Map-free demo path (reference mapfree_6dreg/demo.py:51-126)."""
+    import jax
+    import jax.numpy as jnp
+
+    if args.ckpt_dir:
+        raise SystemExit(
+            "--ckpt_dir is not supported with --mapfree yet (the map-free "
+            "checkpoint holds two models: matcher + 6DReg regressor); "
+            "use far_tpu.cli.submission --ckpt_dir for that flow.")
+
+    from far_tpu.models.sixdreg import MapfreeRegression, SixDRegConfig
+    from far_tpu.pipeline import init_model, mapfree_forward
+    from far_tpu.types import PairBatch
+
+    H, W = (int(x) for x in args.image_size.split("x"))
+    rh, rw = (int(x) for x in args.reg_size.split("x"))
+    mcfg = apply_overrides(
+        FARConfig(image_size=(H, W), dtype=args.dtype, regress_rt=False),
+        args.overrides)
+    matcher, m_vars = init_model(mcfg, seed=0, batch_size=1)
+
+    rcfg = SixDRegConfig(image_hw=(rh, rw), dtype=args.dtype)
+    reg = MapfreeRegression(rcfg)
+    dummy = jnp.zeros((1, rh, rw, 3))
+    r_vars = reg.init(jax.random.PRNGKey(1), dummy, dummy,
+                      jnp.tile(jnp.eye(3, 4)[None], (1, 1, 1)),
+                      jnp.ones((1, 3)))
+
+    gray0 = img0 if img0.shape[-1] == 1 else img0.mean(-1, keepdims=True)
+    gray1 = img1 if img1.shape[-1] == 1 else img1.mean(-1, keepdims=True)
+    batch = PairBatch(
+        image0=jnp.asarray(gray0)[None], image1=jnp.asarray(gray1)[None],
+        K0=jnp.asarray(K)[None], K1=jnp.asarray(K)[None])
+    i0r = jax.image.resize(jnp.asarray(img0)[None], (1, rh, rw, 3),
+                           "bilinear") if img0.shape[-1] == 3 else \
+        jnp.tile(jax.image.resize(jnp.asarray(gray0)[None],
+                                  (1, rh, rw, 1), "bilinear"), (1, 1, 1, 3))
+    i1r = jax.image.resize(jnp.asarray(img1)[None], (1, rh, rw, 3),
+                           "bilinear") if img1.shape[-1] == 3 else \
+        jnp.tile(jax.image.resize(jnp.asarray(gray1)[None],
+                                  (1, rh, rw, 1), "bilinear"), (1, 1, 1, 3))
+
+    R, t, gate, est = jax.jit(
+        lambda mv, rv, b, a0, a1, k: mapfree_forward(
+            matcher, mv, reg, rv, b, a0, a1, k)
+    )(m_vars, r_vars, batch, i0r, i1r, jax.random.PRNGKey(0))
+
+    rt = np.concatenate([np.asarray(R[0]), np.asarray(t[0])[:, None]], -1)
+    np.set_printoptions(precision=4, suppress=True)
+    print("predicted metric [R|t] (map-free 6DReg):")
+    print(rt)
+    print(f"solver inliers: {float(np.asarray(est.num_inliers[0])):.0f}")
+    if gt is not None:
+        print("ground truth [R|t]:")
+        print(gt[:3])
+    return rt
 
 
 def main(argv=None):
@@ -60,6 +126,9 @@ def main(argv=None):
         K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy],
                       [0, 0, 1]], np.float32)
         gt = None
+
+    if args.mapfree:
+        return run_mapfree(args, img0, img1, K, gt)
 
     model, variables = init_model(cfg, seed=0, batch_size=1)
     if args.ckpt_dir:

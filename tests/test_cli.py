@@ -95,3 +95,16 @@ class TestPrecomputeCLI:
             argv += ["--set", s]
         main(argv)
         assert np.load(out).files
+
+
+class TestMapfreeDemo:
+    def test_demo_mapfree_synthetic(self):
+        from far_tpu.cli.demo import main
+
+        argv = ["--synthetic", "--mapfree", "--image_size", "64x64",
+                "--reg_size", "32x32", "--dtype", "float32"]
+        for s in _SMALL_SETS:
+            argv += ["--set", s]
+        rt = main(argv)
+        assert rt.shape == (3, 4)
+        assert np.isfinite(rt).all()
