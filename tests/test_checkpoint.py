@@ -70,3 +70,22 @@ class TestCurriculum:
         p3 = apply_phase(cfg, MATTERPORT_CURRICULUM[3])
         assert p3.regress_rt and p3.regress.use_simple_moe
         assert p3.solver.solver == "prior_ransac"
+
+
+class TestPresets:
+    def test_all_presets_construct(self):
+        from far_tpu.configs import PRESETS
+
+        for name, fn in PRESETS.items():
+            p = fn()
+            assert p.batch_size > 0
+            assert len(p.curriculum) >= 1
+        # matterport curriculum phases map onto valid configs
+        from far_tpu.train.checkpoint import apply_phase
+        from far_tpu.configs import matterport
+
+        mp = matterport()
+        for phase in mp.curriculum:
+            cfg = apply_phase(mp.model, phase)
+            assert cfg.solver.solver in (
+                "ransac", "prior_ransac", "prior_ransac_noprior")
