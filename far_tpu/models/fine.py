@@ -131,12 +131,10 @@ class FinePreprocess(nn.Module):
             c1 = jnp.take_along_axis(feat_c1, j_ids[..., None], axis=1)
             c0 = down(c0)[..., None, :]  # (B, K, 1, Cf)
             c1 = down(c1)[..., None, :]
-            WW = W * W
             f0 = merge(jnp.concatenate(
                 [f0, jnp.broadcast_to(c0, f0.shape[:-1] + (self.cfg.d_model,))], -1))
             f1 = merge(jnp.concatenate(
                 [f1, jnp.broadcast_to(c1, f1.shape[:-1] + (self.cfg.d_model,))], -1))
-            del WW
         return f0, f1
 
 
