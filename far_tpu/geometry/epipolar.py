@@ -44,16 +44,32 @@ def essential_from_fundamental(F: jnp.ndarray, K1: jnp.ndarray, K2: jnp.ndarray)
 
 
 def _epipolar_terms(pts1: jnp.ndarray, pts2: jnp.ndarray, Fm: jnp.ndarray):
-    """Common terms: x2^T F x1, F x1, F^T x2.
+    """Epipolar line coefficients, fully elementwise.
 
-    pts1/pts2: (..., N, 2); Fm: (..., 3, 3).
+    Returns (num, a, b, d, e) with
+        (a, b, _) = F x1 (first two rows), (d, e, _) = F^T x2,
+        num = x2^T F x1.
+
+    Written as broadcast arithmetic rather than einsum on purpose: the
+    RANSAC verifier evaluates these for 2048 hypotheses x 1024 points,
+    and einsum would materialize (B, H, N, 3) intermediates (~400 MB) in
+    HBM, while elementwise chains fuse into the final residual.
+
+    pts1/pts2: (..., N, 2); Fm: (..., 3, 3). The F components are
+    broadcast against the point dim (F gets a trailing singleton axis).
     """
-    p1 = to_homogeneous(pts1)  # (..., N, 3)
-    p2 = to_homogeneous(pts2)
-    Fp1 = jnp.einsum("...ij,...nj->...ni", Fm, p1)  # (..., N, 3)
-    Ftp2 = jnp.einsum("...ji,...nj->...ni", Fm, p2)
-    num = jnp.sum(p2 * Fp1, axis=-1)  # (..., N)
-    return num, Fp1, Ftp2
+    x1, y1 = pts1[..., 0], pts1[..., 1]
+    x2, y2 = pts2[..., 0], pts2[..., 1]
+    F = Fm[..., None]  # broadcast over the point dim
+
+    a = F[..., 0, 0, :] * x1 + F[..., 0, 1, :] * y1 + F[..., 0, 2, :]
+    b = F[..., 1, 0, :] * x1 + F[..., 1, 1, :] * y1 + F[..., 1, 2, :]
+    c = F[..., 2, 0, :] * x1 + F[..., 2, 1, :] * y1 + F[..., 2, 2, :]
+    num = x2 * a + y2 * b + c
+
+    d = F[..., 0, 0, :] * x2 + F[..., 1, 0, :] * y2 + F[..., 2, 0, :]
+    e = F[..., 0, 1, :] * x2 + F[..., 1, 1, :] * y2 + F[..., 2, 1, :]
+    return num, a, b, d, e
 
 
 def sampson_epipolar_distance(
@@ -64,10 +80,8 @@ def sampson_epipolar_distance(
 
     d = (x2^T F x1)^2 / (||(Fx1)_{:2}||^2 + ||(F^T x2)_{:2}||^2)
     """
-    num, Fp1, Ftp2 = _epipolar_terms(pts1, pts2, Fm)
-    denom = (
-        Fp1[..., 0] ** 2 + Fp1[..., 1] ** 2 + Ftp2[..., 0] ** 2 + Ftp2[..., 1] ** 2
-    )
+    num, a, b, d, e = _epipolar_terms(pts1, pts2, Fm)
+    denom = a ** 2 + b ** 2 + d ** 2 + e ** 2
     out = num ** 2 / (denom + eps)
     return out if squared else jnp.sqrt(jnp.maximum(out, 0.0))
 
@@ -83,10 +97,8 @@ def symmetrical_epipolar_distance(
     Mirrors crockwell/far: mp3d_loftr/src/utils/metrics.py:39-56 on
     already-normalized points.
     """
-    num, Fp1, Ftp2 = _epipolar_terms(pts1, pts2, Fm)
-    inv = 1.0 / (Fp1[..., 0] ** 2 + Fp1[..., 1] ** 2 + eps) + 1.0 / (
-        Ftp2[..., 0] ** 2 + Ftp2[..., 1] ** 2 + eps
-    )
+    num, a, b, d, e = _epipolar_terms(pts1, pts2, Fm)
+    inv = 1.0 / (a ** 2 + b ** 2 + eps) + 1.0 / (d ** 2 + e ** 2 + eps)
     out = num ** 2 * inv
     return out if squared else jnp.sqrt(jnp.maximum(out, 0.0))
 
