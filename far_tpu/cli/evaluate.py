@@ -31,11 +31,29 @@ from far_tpu.geometry.epipolar import (
     symmetrical_epipolar_distance,
 )
 from far_tpu.geometry.transforms import normalize_kpts_by_K
-from far_tpu.parallel.comm import all_gather_metrics
+from far_tpu.parallel.comm import (
+    all_gather_metrics,
+    decode_strings,
+    encode_strings,
+)
 from far_tpu.pipeline import far_forward, init_model
 from far_tpu.train.checkpoint import CheckpointManager
 from far_tpu.utils.cli import add_common_args, apply_overrides, build_dataset
 from far_tpu.utils.config import FARConfig
+
+
+def _check_batch_intrinsics(batch) -> None:
+    """Host-side guard mirroring the reference's per-batch intrinsics
+    assertion (vision_transformer.py:115-127): the epipolar positional
+    basis is built once per config, so both frames must share intrinsics
+    with the principal point at the image center."""
+    K0 = np.asarray(batch.K0)
+    K1 = np.asarray(batch.K1)
+    if not np.allclose(K0, K1, rtol=1e-3):
+        raise ValueError(
+            "per-pair intrinsics differ between frames; the epipolar "
+            "positional basis (RegressConfig.grid_fx/grid_fy) assumes "
+            "shared intrinsics")
 
 
 def parse_args(argv=None):
@@ -75,15 +93,20 @@ def main(argv=None):
 
     acc = {k: [] for k in ("identifiers", "R_errs", "t_errs", "t_errs_abs",
                            "successful_fits", "epi_errs", "gt_R", "pred_R",
-                           "pred_t")}
+                           "pred_t", "solver_R_errs", "solver_t_errs",
+                           "solver_t_errs_abs")}
+    max_m = cfg.match.max_matches
     key = jax.random.PRNGKey(args.seed)
     for bi, (batch, meta) in enumerate(loader):
         if args.max_batches and bi >= args.max_batches:
             break
+        _check_batch_intrinsics(batch)
         key, sub = jax.random.split(key)
         out = fn(variables, batch, sub)
         R = np.asarray(out.R)
         t = np.asarray(out.t)
+        sR = np.asarray(out.solver_rt[..., :3, :3])
+        st = np.asarray(out.solver_rt[..., :3, 3])
         T = np.asarray(batch.T_0to1)
         m = out.matches
 
@@ -96,40 +119,60 @@ def main(argv=None):
 
         for b in range(R.shape[0]):
             t_err, r_err, t_abs = relative_pose_error(T[b], R[b], t[b])
+            st_err, sr_err, st_abs = relative_pose_error(T[b], sR[b], st[b])
             acc["identifiers"].append("#".join(meta["pair_names"][b]))
             acc["R_errs"].append(r_err)
             acc["t_errs"].append(t_err)
             acc["t_errs_abs"].append(t_abs)
+            acc["solver_R_errs"].append(sr_err)
+            acc["solver_t_errs"].append(st_err)
+            acc["solver_t_errs_abs"].append(st_abs)
             acc["successful_fits"].append(float(np.asarray(out.success[b])))
-            acc["epi_errs"].append(epi[b][valid[b]])
+            # pad to a fixed width so the array can ride the allgather
+            e = np.full(max_m, np.nan, np.float32)
+            ev = epi[b][valid[b]][:max_m]
+            e[: len(ev)] = ev
+            acc["epi_errs"].append(e)
             acc["gt_R"].append(T[b][:3, :3])
             acc["pred_R"].append(R[b])
             acc["pred_t"].append(t[b])
 
-    # cross-host gather of fixed-shape arrays; identifiers stay local-only
-    # (dedup handles the padding overlap)
+    # cross-host gather: every per-pair field rides a fixed-shape
+    # allgather, INCLUDING identifiers (fixed-width bytes), so the
+    # identifier dedup below operates on globally aligned arrays.
     gathered = all_gather_metrics({
-        k: np.asarray(acc[k]) for k in
-        ("R_errs", "t_errs", "t_errs_abs", "successful_fits")
+        **{k: np.asarray(acc[k]) for k in acc if k != "identifiers"},
+        "identifiers": encode_strings(acc["identifiers"]),
     })
-    for k, v in gathered.items():
-        acc[k] = list(v)
+    acc = {k: list(v) for k, v in gathered.items()}
+    acc["identifiers"] = decode_strings(np.asarray(gathered["identifiers"]))
+    acc["epi_errs"] = [e[~np.isnan(e)] for e in gathered["epi_errs"]]
 
-    if args.agg == "matterport":
-        table = aggregate_metrics(acc)
-    else:
-        table = aggregate_metrics_interiornet_streetlearn(acc)
+    def agg(metrics):
+        if args.agg == "matterport":
+            return aggregate_metrics(metrics)
+        return aggregate_metrics_interiornet_streetlearn(metrics)
+
+    table = agg(acc)
+    # solver-pose table (reference re-runs compute_pose_errors on the
+    # RANSAC pose, metrics.py:230-303) — makes MoE gating quality visible
+    solver_table = agg({**acc, "R_errs": acc["solver_R_errs"],
+                        "t_errs": acc["solver_t_errs"],
+                        "t_errs_abs": acc["solver_t_errs_abs"]})
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     solver = cfg.solver.solver
     (out_dir / f"results_{solver}.txt").write_text(
         "\n".join(f"{k}: {v}" for k, v in table.items()) + "\n")
+    (out_dir / f"results_{solver}_solverpose.txt").write_text(
+        "\n".join(f"{k}: {v}" for k, v in solver_table.items()) + "\n")
     np.save(out_dir / "error_cdf.npy",
             np.sort(np.maximum(acc["R_errs"], acc["t_errs"])))
     np.save(out_dir / "pred_R.npy", np.asarray(acc["pred_R"]))
     np.save(out_dir / "pred_t.npy", np.asarray(acc["pred_t"]))
-    print(json.dumps(table, indent=2, default=float))
+    print(json.dumps({"fused": table, "solver": solver_table},
+                     indent=2, default=float))
     return table
 
 

@@ -4,8 +4,10 @@ Behavioral equivalent of crockwell/far:
 mp3d_loftr/src/loftr/loftr_module/linear_attention.py. The linear
 variant is the reference's long-sequence mechanism (O(N) in the 4800
 coarse tokens); on TPU both the KV aggregation and the output einsums
-lower to MXU matmuls. A fused Pallas path lives in far_tpu.ops and is
-used automatically for large N on TPU.
+lower to MXU matmuls, and XLA fuses the feature maps into them — no
+hand-written kernel is needed for this op (the Pallas kernels in
+far_tpu.ops cover the dual-softmax bilinear EMM and coarse matching,
+which XLA does not fuse well).
 """
 
 from __future__ import annotations

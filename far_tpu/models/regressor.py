@@ -91,6 +91,7 @@ class CrossAttentionEMM(nn.Module):
     dim: int
     num_heads: int
     grid_hw: Tuple[int, int] = (60, 80)
+    grid_f: Tuple[float, float] = (517.0 / 9.0, 517.0 / 8.0)  # (fx, fy)
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -111,8 +112,11 @@ class CrossAttentionEMM(nn.Module):
         q1, k1, v1 = split(x1)
         q2, k2, v2 = split(x2)
 
+        h, w = self.grid_hw
+        fx, fy = self.grid_f
         pos = jnp.asarray(
-            epipolar_positional_basis(*self.grid_hw), self.dtype
+            epipolar_positional_basis(h, w, fx, fy, w / 2.0, h / 2.0),
+            self.dtype,
         )  # (N, 6)
         pos = jnp.broadcast_to(pos[None, None], (B, H, N, 6))
         v1p = jnp.concatenate([v1, pos], axis=-1)  # (B, H, N, D+6)
@@ -143,6 +147,7 @@ class CrossBlockEMM(nn.Module):
     dim: int
     num_heads: int
     grid_hw: Tuple[int, int] = (60, 80)
+    grid_f: Tuple[float, float] = (517.0 / 9.0, 517.0 / 8.0)
     use_pos_embedding: bool = False
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
@@ -163,7 +168,7 @@ class CrossBlockEMM(nn.Module):
         norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
         f1, f2 = CrossAttentionEMM(
             dim=self.dim, num_heads=self.num_heads, grid_hw=self.grid_hw,
-            dtype=self.dtype, name="cross_attn",
+            grid_f=self.grid_f, dtype=self.dtype, name="cross_attn",
         )(norm1(feat0), norm1(feat1))
 
         fund = jnp.concatenate([f1, f2], axis=1)  # (B, 2*Dv, C)
@@ -196,6 +201,7 @@ class PoseRegressorEMM(nn.Module):
             )
         self.emm = CrossBlockEMM(
             dim=cfg.d_model, num_heads=cfg.emm_heads, grid_hw=self.grid_hw,
+            grid_f=(cfg.grid_fx, cfg.grid_fy),
             use_pos_embedding=cfg.use_pos_embedding, dtype=self.dtype,
         )
         self.norm = nn.LayerNorm(dtype=self.dtype, epsilon=1e-6)

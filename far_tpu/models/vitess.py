@@ -76,6 +76,13 @@ class ViTEssConfig:
     num_heads: int = 3
     feature_hw: Tuple[int, int] = (24, 24)
     fc_hidden: int = 512
+    # Epipolar-basis focals in grid cells. The reference builds the basis
+    # from per-batch intrinsics (vision_transformer.py:90-140) after
+    # asserting they are constant; for InteriorNet/StreetLearn
+    # (fx=320, fy=240 at 640x480) the normalized focal is exactly 1.0,
+    # i.e. fx_grid = w/2 = 12 on the 24x24 token grid.
+    grid_fx: float = 12.0
+    grid_fy: float = 12.0
     fusion_transformer: bool = True
     pool_size: int = 60            # non-transformer pooling path
     use_loftr_gating: bool = False
@@ -239,7 +246,9 @@ class ViTEss(nn.Module):
             feat1 = tokens.reshape(B, 2, N, cfg.dim)[:, 1]
             fused = CrossBlockEMM(
                 dim=cfg.dim, num_heads=cfg.num_heads,
-                grid_hw=cfg.feature_hw, dtype=dt, name="cross_block",
+                grid_hw=cfg.feature_hw,
+                grid_f=(cfg.grid_fx, cfg.grid_fy),
+                dtype=dt, name="cross_block",
             )(feat0, feat1)                                  # (B, 2*Dv, C)
             fused = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="norm")(fused)
             features = fused.reshape(B, -1)

@@ -48,6 +48,22 @@ def local_mesh(axis_name: str = "data"):
     return Mesh(np.asarray(jax.devices()), (axis_name,))
 
 
+def encode_strings(strings, width: int = 96) -> np.ndarray:
+    """Fixed-width utf-8 byte matrix (N, width) so identifier strings can
+    ride the same fixed-shape allgather as the metric arrays (the
+    reference instead gathers pickled python objects over a gloo
+    side-channel, comm.py:83-219)."""
+    out = np.zeros((len(strings), width), np.uint8)
+    for i, s in enumerate(strings):
+        b = s.encode("utf-8")[:width]
+        out[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return out
+
+
+def decode_strings(mat: np.ndarray) -> list:
+    return [bytes(row[row != 0]).decode("utf-8", "replace") for row in mat]
+
+
 def all_gather_metrics(metrics: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Gather per-host metric arrays to every host, concatenated on axis 0.
 

@@ -69,6 +69,14 @@ class RegressConfig:
     use_num_corres: bool = True    # append num matches to solver pose input
     use_many_ransac_thr: bool = True  # append tight/ultra-tight counts
     hidden: int = 512
+    # Focal lengths (in coarse-grid cells) used to build the epipolar
+    # positional basis. The reference hardcodes the mp3d values
+    # (transformer.py:194-196) and asserts per-batch intrinsics equality;
+    # we expose them so other camera grids (mapfree/streetlearn) can't
+    # silently reuse the mp3d basis. Principal point is assumed at the
+    # grid center (true for all supported datasets after resize).
+    grid_fx: float = 517.0 / 9.0
+    grid_fy: float = 517.0 / 8.0
 
 
 @dataclasses.dataclass(frozen=True)

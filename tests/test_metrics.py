@@ -233,3 +233,50 @@ class TestSubmissionRoundTrip:
         assert np.isclose(out["Average Median Translation Error"], 0, atol=1e-5)
         key = [k for k in out if k.startswith("Precision @ Pose")][0]
         assert out[key] == 1.0
+
+
+class TestMultiHostGatherDedup:
+    """The padded-tail eval sharding (data/sampler.py:69-77) duplicates
+    pairs across ranks; after a global allgather the identifier dedup
+    must recover the true dataset size (VERDICT r1 weak #1)."""
+
+    def test_encode_decode_roundtrip(self):
+        from far_tpu.parallel.comm import decode_strings, encode_strings
+
+        ids = ["scene0#a.png#b.png", "s#c", "x" * 200]
+        dec = decode_strings(encode_strings(ids))
+        assert dec[:2] == ids[:2]
+        assert dec[2] == "x" * 96  # truncated at fixed width
+
+    def test_padded_two_rank_gather_dedups_globally(self):
+        from far_tpu.data.sampler import sequential_indices
+        from far_tpu.eval.metrics import aggregate_metrics
+        from far_tpu.parallel.comm import decode_strings, encode_strings
+
+        n, world = 5, 2
+        names = [f"scene/pair_{i}" for i in range(n)]
+        rng = np.random.default_rng(0)
+        errs = rng.uniform(0, 40, n)
+
+        # per-rank accumulation exactly as cli/evaluate.py builds it
+        per_rank = []
+        for rank in range(world):
+            idx = sequential_indices(n, rank=rank, world_size=world)
+            per_rank.append({
+                "identifiers": encode_strings([names[i] for i in idx]),
+                "R_errs": errs[idx],
+                "t_errs": errs[idx],
+                "t_errs_abs": errs[idx],
+                "successful_fits": np.ones(len(idx)),
+                "epi_errs": np.full((len(idx), 4), np.nan),
+            })
+        # what process_allgather produces: concat along axis 0
+        gathered = {k: np.concatenate([r[k] for r in per_rank])
+                    for k in per_rank[0]}
+        acc = {k: list(v) for k, v in gathered.items()}
+        acc["identifiers"] = decode_strings(gathered["identifiers"])
+        acc["epi_errs"] = [e[~np.isnan(e)] for e in gathered["epi_errs"]]
+
+        table = aggregate_metrics(acc)
+        assert table["dset size"] == n
+        assert np.isclose(table["rot mean err"], round(float(errs.mean()), 2))
