@@ -33,6 +33,7 @@ def make_solver_configs(cfg: FARConfig) -> Tuple[SolverConfig, SolverConfig]:
     so = cfg.solver
     base = dict(
         num_hypotheses=so.num_hypotheses,
+        minimal_solver=so.minimal_solver,
         pixel_thr=so.pixel_thr,
         prior_inl_th=so.prior_inl_th,
         prior_lambda=so.prior_lambda,

@@ -48,10 +48,12 @@ class SolverConfig:
     prior_lambda: float = 0.3
     bias_sigma_sq: float = 0.1
     min_valid: int = 8
+    minimal_solver: str = "8pt"  # '8pt' or '5pt' (Nister)
 
     def ransac_config(self, use_prior: bool) -> RansacConfig:
         return RansacConfig(
             num_hypotheses=self.num_hypotheses,
+            minimal_solver=self.minimal_solver,
             inl_th=self.prior_inl_th,
             prior_lambda=self.prior_lambda,
             bias_sigma_sq=self.bias_sigma_sq,

@@ -35,6 +35,7 @@ from far_tpu.geometry.epipolar import (
     sampson_epipolar_distance,
     symmetrical_epipolar_distance,
 )
+from far_tpu.geometry.fivepoint import run_5point_essential
 from far_tpu.geometry.solvers import (
     fast_decompose_essential,
     recover_pose_from_essential,
@@ -42,13 +43,19 @@ from far_tpu.geometry.solvers import (
 )
 from far_tpu.solvers.types import PoseEstimate, PriorParams
 
+# elimination passes per 5-point sample (see fivepoint._basis_rotations)
+_FIVEPT_ROTATIONS = 2
+
 
 @dataclasses.dataclass(frozen=True)
 class RansacConfig:
     """Static RANSAC configuration (hashable — safe as a jit static arg)."""
 
     num_hypotheses: int = 2048   # reference batch_size=2048 (metrics.py:122)
-    sample_size: int = 8         # 8-point minimal solver (see module note)
+    minimal_solver: str = "8pt"  # '8pt' (sample 8, one hypothesis each) or
+                                 # '5pt' (Nister: sample 5, up to 20
+                                 # hypotheses each — num_hypotheses is the
+                                 # TOTAL hypothesis budget either way)
     inl_th: float = 3e-7         # squared sampson on normalized coords
     prior_lambda: float = 0.3    # reference metrics.py:112
     bias_sigma_sq: float = 0.1   # reference metrics.py:123
@@ -154,7 +161,13 @@ def prior_ransac(
         inlier mask and loose/tight/ultra-tight counts.
     """
     B, N, _ = kp1.shape
-    H, S = cfg.num_hypotheses, cfg.sample_size
+    H = cfg.num_hypotheses
+    if cfg.minimal_solver == "5pt":
+        S, n_cand = 5, 10 * _FIVEPT_ROTATIONS
+        n_samples = max(H // n_cand, 1)
+    else:
+        S, n_cand = 8, 1
+        n_samples = H
     dtype = kp1.dtype
     validf = valid.astype(dtype)
 
@@ -168,15 +181,23 @@ def prior_ransac(
     else:
         logw = jnp.where(valid, 0.0, -jnp.inf)
 
-    idx = _sample_indices(key, logw, H, S)  # (B, H, S)
+    idx = _sample_indices(key, logw, n_samples, S)  # (B, n_samples, S)
 
     # ---- minimal solves ----------------------------------------------------
     take = lambda pts: jnp.take_along_axis(pts[:, None], idx[..., None], axis=2)
-    kp1_s = take(kp1)  # (B, H, S, 2)
+    kp1_s = take(kp1)  # (B, n_samples, S, 2)
     kp2_s = take(kp2)
-    impl = "power" if cfg.linalg == "fast" else "eigh"
-    E = run_8point_essential(kp1_s, kp2_s, impl=impl)  # (B, H, 3, 3)
-    finite = jnp.all(jnp.isfinite(E), axis=(-1, -2))  # (B, H)
+    if cfg.minimal_solver == "5pt":
+        E5, valid5 = run_5point_essential(
+            kp1_s, kp2_s, n_basis_rotations=_FIVEPT_ROTATIONS
+        )  # (B, n_samples, n_cand, 3, 3)
+        E = E5.reshape(B, n_samples * n_cand, 3, 3)
+        finite = valid5.reshape(B, n_samples * n_cand) \
+            & jnp.all(jnp.isfinite(E), axis=(-1, -2))
+    else:
+        impl = "power" if cfg.linalg == "fast" else "eigh"
+        E = run_8point_essential(kp1_s, kp2_s, impl=impl)  # (B, H, 3, 3)
+        finite = jnp.all(jnp.isfinite(E), axis=(-1, -2))  # (B, H)
 
     # ---- verification -------------------------------------------------------
     thr = cfg.inl_th if inl_th is None else inl_th[:, None, None]

@@ -82,6 +82,11 @@ class RegressConfig:
 @dataclasses.dataclass(frozen=True)
 class SolverOptions:
     solver: str = "prior_ransac"   # 'ransac'|'prior_ransac'|'prior_ransac_noprior'|'none'
+    minimal_solver: str = "5pt"    # '5pt' (Nister; matches the reference's
+                                   # essential_cv2 production default,
+                                   # metrics.py:114 + ransac.py:151-157) or
+                                   # '8pt' (cheaper, equal at low noise —
+                                   # see README 5pt-vs-8pt A/B).
     num_hypotheses: int = 2048
     pixel_thr: float = 0.5
     prior_inl_th: float = 3e-7
