@@ -256,7 +256,8 @@ class CachedCorrespondenceDataset:
     def __init__(self, base_dataset, corr_npz, max_matches: int = 1024,
                  outlier_pct: float = 0.0, noise_pix: float = 0.0,
                  missing_pct: float = 0.0, corr_dropout: float = 0.0,
-                 image_hw: Tuple[int, int] = (480, 640), seed: int = 0):
+                 image_hw: Tuple[int, int] = (480, 640), seed: int = 0,
+                 keep_images: bool = False):
         from far_tpu.models.feature_matching import PrecomputedMatching
 
         self.base = base_dataset
@@ -266,6 +267,7 @@ class CachedCorrespondenceDataset:
                            corr_dropout=corr_dropout)
         self.image_hw = image_hw
         self.seed = seed
+        self.keep_images = keep_images  # 6DReg training consumes images too
 
     def __len__(self):
         return len(self.base)
@@ -283,8 +285,9 @@ class CachedCorrespondenceDataset:
         s["correspondences"] = corr.astype(np.float32)
         s["corr_valid"] = valid
         s["num_correspondences"] = np.asarray(valid.sum(), np.float32)
-        s.pop("image0", None)
-        s.pop("image1", None)
+        if not self.keep_images:
+            s.pop("image0", None)
+            s.pop("image1", None)
         return s
 
 
@@ -388,3 +391,117 @@ class SyntheticPairDataset:
             "pair_names": (f"syn_{idx}_0", f"syn_{idx}_1"),
             "dataset_name": "synthetic",
         }
+
+
+class GTCorrespondenceDataset:
+    """Wraps a depth-carrying pair dataset, synthesizing correspondences
+    by projecting image-0 depth pixels through the GT pose.
+
+    The training-time equivalent of the frozen matcher the reference runs
+    inside every 6DReg train step (mapfree_6dreg
+    lib/models/regression/model.py:325-333): sampled depth-valid pixels
+    of image 0 are backprojected, moved by T_0to1, reprojected into
+    image 1, jittered by ``noise_pix`` and contaminated with
+    ``outlier_pct`` random mismatches. Keeps the images (the regression
+    net consumes them) unlike CachedCorrespondenceDataset.
+    """
+
+    def __init__(self, base_dataset, max_matches: int = 512,
+                 noise_pix: float = 1.0, outlier_pct: float = 0.1,
+                 seed: int = 0):
+        self.base = base_dataset
+        self.max_matches = max_matches
+        self.noise_pix = noise_pix
+        self.outlier_pct = outlier_pct
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Dict:
+        s = dict(self.base[idx])
+        rng = np.random.default_rng(self.seed * 99991 + idx)
+        depth0 = np.asarray(s["depth0"], np.float64)
+        K0 = np.asarray(s["K0"], np.float64)
+        K1 = np.asarray(s["K1"], np.float64)
+        T = np.asarray(s["T_0to1"], np.float64)
+        H, W = depth0.shape
+
+        ys, xs = np.nonzero(depth0 > 0)
+        n = self.max_matches
+        corr = np.zeros((n, 2, 2), np.float32)
+        valid = np.zeros(n, bool)
+        if len(xs) > 0:
+            pick = rng.integers(0, len(xs), size=n)
+            u, v = xs[pick].astype(np.float64), ys[pick].astype(np.float64)
+            z = depth0[ys[pick], xs[pick]]
+            X = np.stack([(u - K0[0, 2]) / K0[0, 0] * z,
+                          (v - K0[1, 2]) / K0[1, 1] * z, z], -1)
+            X1 = X @ T[:3, :3].T + T[:3, 3]
+            ok = X1[:, 2] > 1e-3
+            u1 = X1[:, 0] / np.maximum(X1[:, 2], 1e-3) * K1[0, 0] + K1[0, 2]
+            v1 = X1[:, 1] / np.maximum(X1[:, 2], 1e-3) * K1[1, 1] + K1[1, 2]
+            ok &= (u1 >= 0) & (u1 < W) & (v1 >= 0) & (v1 < H)
+            p0 = np.stack([u, v], -1) + rng.normal(0, self.noise_pix, (n, 2))
+            p1 = np.stack([u1, v1], -1) + rng.normal(0, self.noise_pix, (n, 2))
+            out = rng.uniform(size=n) < self.outlier_pct
+            p1[out] = rng.uniform([0, 0], [W, H], size=(out.sum(), 2))
+            corr = np.stack([p0, p1], axis=1).astype(np.float32)
+            valid = ok
+        s["correspondences"] = corr
+        s["corr_valid"] = valid
+        s["num_correspondences"] = np.asarray(valid.sum(), np.float32)
+        return s
+
+
+class SolverPoseDataset:
+    """Attaches a per-pair solver pose for FAR-gated ViTEss training.
+
+    The reference trains the gated 8pt-ViT with *cached* LoFTR+RANSAC
+    predictions loaded from disk (interiornetStreetlearn_8ptVit
+    train.py:96-117 loftr_preds). Sources here:
+    - ``pose_npz``: an .npz with arrays 'rt' (N, 3, 4) and
+      'num_corr' (N,) indexed by pair order, produced offline;
+    - otherwise the GT pose perturbed by ``rot_noise_deg`` /
+      ``trans_noise`` (a synthetic solver for smoke tests).
+    """
+
+    def __init__(self, base_dataset, pose_npz=None,
+                 rot_noise_deg: float = 5.0, trans_noise: float = 0.1,
+                 seed: int = 0):
+        self.base = base_dataset
+        self.poses = None
+        if pose_npz is not None:
+            z = np.load(pose_npz)
+            self.poses = (np.asarray(z["rt"], np.float32),
+                          np.asarray(z["num_corr"], np.float32))
+        self.rot_noise = np.radians(rot_noise_deg)
+        self.trans_noise = trans_noise
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Dict:
+        s = dict(self.base[idx])
+        if self.poses is not None:
+            s["solver_rt"] = self.poses[0][idx]
+            s["num_correspondences"] = self.poses[1][idx]
+            return s
+        rng = np.random.default_rng(self.seed * 77003 + idx)
+        T = np.asarray(s["T_0to1"], np.float64)
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        ang = rng.normal(0, self.rot_noise)
+        Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                       [-ax[1], ax[0], 0]])
+        dR = np.eye(3) + np.sin(ang) * Kx + (1 - np.cos(ang)) * (Kx @ Kx)
+        rt = np.zeros((3, 4), np.float32)
+        rt[:, :3] = dR @ T[:3, :3]
+        t = T[:3, 3] + rng.normal(0, self.trans_noise, 3)
+        n = np.linalg.norm(t)
+        rt[:, 3] = t / n if n > 1e-8 else np.array([0, 0, 1.0])
+        s["solver_rt"] = rt
+        s["num_correspondences"] = np.asarray(
+            rng.integers(50, 500), np.float32)
+        return s

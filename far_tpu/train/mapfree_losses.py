@@ -135,13 +135,14 @@ def combined_loss(
     s_r: jnp.ndarray | None = None,
     s_t: jnp.ndarray | None = None,
 ):
-    """lambda-weighted sum, or homoscedastic weighting when lam == 0
-    (Kendall & Cipolla; reference model.py:90-94)."""
+    """R_loss + lam * t_loss (reference model.py:322 — LAMBDA scales the
+    TRANSLATION term), or homoscedastic weighting when lam == 0
+    (Kendall & Cipolla; reference model.py:90-94, 318-320)."""
     lr = ROT_LOSSES[rot_loss](R_pred, R_gt)
     lt = TRANS_LOSSES[trans_loss](t_pred, t_gt)
     if lam == 0.0:
         assert s_r is not None and s_t is not None
         total = lt * jnp.exp(-s_t) + s_t + lr * jnp.exp(-s_r) + s_r
     else:
-        total = lt + lam * lr
+        total = lr + lam * lt
     return total, {"rot_loss": lr, "trans_loss": lt}

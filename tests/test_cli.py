@@ -21,6 +21,9 @@ for _s in _SMALL_SETS:
     SMALL += ["--set", _s]
 
 
+pytestmark = pytest.mark.slow
+
+
 class TestTrainCLI:
     def test_train_few_steps(self, tmp_path):
         from far_tpu.cli.train import main

@@ -10,6 +10,11 @@ from far_tpu.geometry import geodesic_distance, warp_kpts
 from far_tpu.solvers import SolverConfig, estimate_pose
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 class TestSolverOnRenderedScenes:
     def test_oracle_matches_recover_pose(self):
         """GT-warped correspondences from rendered depth -> the full

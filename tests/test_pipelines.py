@@ -9,6 +9,11 @@ from far_tpu.pipeline import init_model, mapfree_forward
 from tests.test_models import make_batch, small_config
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 class TestMapfreePipeline:
     def test_two_round_loop(self, rng):
         cfg = small_config()

@@ -13,6 +13,9 @@ from far_tpu.models.superglue import (
 from far_tpu.models.superpoint import SuperPointConfig, SuperPointTPU, simple_nms
 
 
+pytestmark = pytest.mark.slow
+
+
 class TestSuperPoint:
     def test_nms_keeps_local_maxima(self):
         s = jnp.zeros((1, 16, 16)).at[0, 4, 4].set(1.0).at[0, 4, 5].set(0.5)
