@@ -59,16 +59,48 @@ def _check_batch_intrinsics(batch) -> None:
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="far_tpu evaluator")
     add_common_args(p)
+    p.add_argument("--model", default="far", choices=["far", "vitess"],
+                   help="far = full FAR loop (mp3d_loftr/test.py); vitess ="
+                        " 8pt-ViT geodesic eval (interiornetStreetlearn_"
+                        "8ptVit/test_streetlearn_interiornet.py)")
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--out_dir", default="/tmp/far_tpu_eval")
     p.add_argument("--max_batches", type=int, default=0)
     p.add_argument("--agg", default="matterport",
                    choices=["matterport", "interiornet_streetlearn"])
+    p.add_argument("--solver_pose_npz", default=None,
+                   help="[vitess] cached solver poses for the FAR-gated "
+                        "model (npz with 'rt' (N,3,4) + 'num_corr' (N,))")
     return p.parse_args(argv)
+
+
+def _restore_variables(ckpt_dir, variables):
+    """Pull params/batch_stats out of a saved TrainState checkpoint.
+
+    Checkpoints store the full TrainState (step/params/batch_stats/
+    opt_state); eval holds only the variables subtree, so restore
+    template-free and merge shape-checked (curriculum-surgery safe)."""
+    from far_tpu.train.checkpoint import surgical_load
+
+    mgr = CheckpointManager(ckpt_dir)
+    raw = mgr.restore_raw()
+    mgr.close()
+    params, skipped = surgical_load(raw["params"], variables["params"])
+    if skipped:
+        raise ValueError(
+            f"checkpoint params do not match the model config: {skipped[:8]}")
+    out = {"params": params}
+    if "batch_stats" in variables:
+        out["batch_stats"], _ = surgical_load(
+            raw.get("batch_stats", {}), variables["batch_stats"],
+            verbose=False)
+    return out
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.model == "vitess":
+        return _eval_vitess(args)
     H, W = (int(x) for x in args.image_size.split("x"))
     cfg = FARConfig(image_size=(H, W), dtype=args.dtype)
     cfg = apply_overrides(cfg, args.overrides)
@@ -76,13 +108,7 @@ def main(argv=None):
     model, variables = init_model(cfg, seed=args.seed,
                                   batch_size=args.batch_size)
     if args.ckpt_dir:
-        mgr = CheckpointManager(args.ckpt_dir)
-        state = mgr.restore(jax.device_get(
-            {"params": variables["params"],
-             "batch_stats": variables.get("batch_stats", {})}))
-        variables = {"params": state["params"],
-                     "batch_stats": state["batch_stats"]}
-        mgr.close()
+        variables = _restore_variables(args.ckpt_dir, variables)
 
     fn = jax.jit(lambda v, b, k: far_forward(model, v, b, k, train=False))
 
@@ -173,6 +199,81 @@ def main(argv=None):
     np.save(out_dir / "pred_t.npy", np.asarray(acc["pred_t"]))
     print(json.dumps({"fused": table, "solver": solver_table},
                      indent=2, default=float))
+    return table
+
+
+def _eval_vitess(args):
+    """8pt-ViT geodesic eval (reference interiornetStreetlearn_8ptVit/
+    test_streetlearn_interiornet.py:65-116): run ViTEss — optionally
+    FAR-gated by cached solver poses, the reference's cached-LoFTR-preds
+    scheme (train.py:96-117) — over the sorted eval pairs, then print and
+    write the large/small-overlap geodesic rotation table (results.txt)
+    plus pred_R.npy."""
+    from far_tpu.models.vitess import ViTEss, ViTEssConfig
+    from far_tpu.train.family_trainers import collate_vitess
+
+    cfg = apply_overrides(ViTEssConfig(dtype=args.dtype), args.overrides)
+    model = ViTEss(cfg)
+
+    dataset = build_dataset(args)
+    if cfg.use_loftr_gating:
+        from far_tpu.data.datasets import SolverPoseDataset
+
+        dataset = SolverPoseDataset(dataset, args.solver_pose_npz,
+                                    seed=args.seed)
+
+    idx = sequential_indices(len(dataset), rank=jax.process_index(),
+                             world_size=jax.process_count())
+    loader = Loader(dataset, idx, args.batch_size,
+                    collate=collate_vitess, keep_meta=True)
+
+    hw = np.asarray(dataset[0]["image0"]).shape[:2]
+    images0 = jnp.zeros((args.batch_size, 2, *hw, 3), jnp.float32)
+    sp = nc = None
+    if cfg.use_loftr_gating:
+        sp = jnp.tile(jnp.eye(3, 4)[None], (args.batch_size, 1, 1))
+        nc = jnp.zeros((args.batch_size,), jnp.float32)
+    init_fn = jax.jit(lambda k: model.init(k, images0, sp, nc, train=False))
+    variables = init_fn(jax.random.PRNGKey(args.seed))
+    if args.ckpt_dir:
+        variables = _restore_variables(args.ckpt_dir, variables)
+
+    fn = jax.jit(
+        lambda v, im, s, n: model.apply(v, im, s, n, train=False))
+
+    acc = {k: [] for k in ("identifiers", "gt_R", "pred_R",
+                           "successful_fits", "epi_errs")}
+    for bi, (batch, meta) in enumerate(loader):
+        if args.max_batches and bi >= args.max_batches:
+            break
+        _, R, _, _ = fn(variables, batch.images,
+                        batch.solver_rt, batch.solver_num_corr)
+        R = np.asarray(R, np.float32)
+        T = np.asarray(batch.T_0to1)
+        for b in range(R.shape[0]):
+            acc["identifiers"].append("#".join(meta["pair_names"][b]))
+            acc["gt_R"].append(T[b][:3, :3])
+            acc["pred_R"].append(R[b])
+            # regression always produces a pose; the fits column only
+            # tracks solver health in the FAR family
+            acc["successful_fits"].append(1.0)
+            acc["epi_errs"].append(np.full(1, np.nan, np.float32))
+
+    gathered = all_gather_metrics({
+        **{k: np.asarray(acc[k]) for k in acc if k != "identifiers"},
+        "identifiers": encode_strings(acc["identifiers"]),
+    })
+    acc = {k: list(v) for k, v in gathered.items()}
+    acc["identifiers"] = decode_strings(np.asarray(gathered["identifiers"]))
+    acc["epi_errs"] = [e[~np.isnan(e)] for e in gathered["epi_errs"]]
+
+    table = aggregate_metrics_interiornet_streetlearn(acc)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "results.txt").write_text(
+        "\n".join(f"{k}: {v}" for k, v in table.items()) + "\n")
+    np.save(out_dir / "pred_R.npy", np.asarray(acc["pred_R"]))
+    print(json.dumps(table, indent=2, default=float))
     return table
 
 

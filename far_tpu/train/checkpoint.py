@@ -57,6 +57,17 @@ class CheckpointManager:
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore without a structure template (plain nested dicts of
+        numpy arrays). Needed when the consumer holds only a *subtree*
+        of the saved state — e.g. evaluation restoring params +
+        batch_stats out of a full TrainState checkpoint (orbax
+        StandardRestore rejects partial templates)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def close(self):
         self._mgr.close()
 

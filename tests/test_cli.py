@@ -63,6 +63,68 @@ class TestEvaluateCLI:
         assert (np.diff(cdf) >= 0).all()
 
 
+class TestViTEssEvaluateCLI:
+    VITESS_SMALL = [
+        "--model", "vitess", "--dataset", "synthetic",
+        "--image_size", "64x64", "--n_synthetic", "8",
+        "--batch_size", "8", "--dtype", "float32",
+        "--set", "dim=48", "--set", "depth=2", "--set", "fc_hidden=64",
+        "--set", "feature_hw=8,8", "--set", "grid_fx=4.0",
+        "--set", "grid_fy=4.0",
+    ]
+
+    def test_vitess_eval_table(self, tmp_path):
+        from far_tpu.cli.evaluate import main
+
+        table = main(self.VITESS_SMALL + [
+            "--out_dir", str(tmp_path / "eval")])
+        assert "large overlap, rot mean err" in table
+        assert (tmp_path / "eval" / "results.txt").exists()
+        assert np.load(tmp_path / "eval" / "pred_R.npy").shape == (8, 3, 3)
+
+    def test_vitess_eval_gated(self, tmp_path):
+        from far_tpu.cli.evaluate import main
+
+        table = main(self.VITESS_SMALL + [
+            "--set", "use_loftr_gating=true",
+            "--out_dir", str(tmp_path / "eval")])
+        assert "small overlap, rot median err" in table
+
+    def test_vitess_train_then_eval_restores_ckpt(self, tmp_path):
+        from far_tpu.cli.evaluate import main as eval_main
+        from far_tpu.cli.train import main as train_main
+
+        common = self.VITESS_SMALL
+        train_main(common + [
+            "--steps", "1", "--log_every", "1", "--sampler", "sequential",
+            "--ckpt_dir", str(tmp_path / "ckpt"),
+            "--log_dir", str(tmp_path / "logs"),
+        ])
+        table = eval_main(common + [
+            "--ckpt_dir", str(tmp_path / "ckpt"),
+            "--out_dir", str(tmp_path / "eval")])
+        assert "large overlap, rot mean err" in table
+
+
+class TestFAREvaluateCkptRestore:
+    def test_far_train_then_eval_restores_ckpt(self, tmp_path):
+        """The checkpoint stores a full TrainState; eval must pull the
+        params/batch_stats subtree out of it (restore_raw path)."""
+        from far_tpu.cli.evaluate import main as eval_main
+        from far_tpu.cli.train import main as train_main
+
+        train_main(SMALL + [
+            "--steps", "1", "--log_every", "1", "--sampler", "sequential",
+            "--ckpt_dir", str(tmp_path / "ckpt"),
+            "--log_dir", str(tmp_path / "logs"),
+        ])
+        table = eval_main(SMALL + [
+            "--max_batches", "1",
+            "--ckpt_dir", str(tmp_path / "ckpt"),
+            "--out_dir", str(tmp_path / "eval")])
+        assert "rot mean err" in table
+
+
 class TestDemoCLI:
     def test_demo_synthetic(self):
         from far_tpu.cli.demo import main
