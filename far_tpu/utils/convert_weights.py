@@ -1,18 +1,25 @@
-"""PyTorch checkpoint -> Flax parameter conversion for FARLoFTR.
+"""PyTorch checkpoint -> Flax parameter conversion, all three families.
 
-Converts the reference's released checkpoints (crockwell/far mp3d family:
-`matcher.`-prefixed LoFTR + FAR regressor state dicts) into this
-framework's parameter pytree, for layer-by-layer numeric parity checks
-(SURVEY.md §7 build step 3).
+Converts the reference's released checkpoints into this framework's
+parameter pytrees, for layer-by-layer numeric parity checks
+(SURVEY.md §7 build step 3):
+- FARLoFTR  <- crockwell/far mp3d family (`matcher.`-prefixed LoFTR +
+  FAR regressor state dicts, mp3d_loftr/src/loftr/**)
+- ViTEss    <- interiornetStreetlearn_8ptVit family
+  (src/model.py: resnet18 trunk + fusion_transformer + MoE heads)
+- MapfreeRegression <- mapfree_6dreg family
+  (lib/models/regression/model.py: encoder/aggregator/head +
+  vanilla TransformerEncoder + pose/moe MLPs)
 
 Layout transforms:
 - Conv2d weight OIHW -> HWIO
 - Linear weight (out, in) -> (in, out)
+- torch MultiheadAttention in_proj (3C, C) -> (C, 3C) qkv kernel
 - BatchNorm weight/bias -> scale/bias (params) + running stats
   -> batch_stats {mean, var}
 - LayerNorm weight -> scale
 - flattened-activation Linears that consume torch CHW-ordered features
-  get their input rows permuted to our HWC ordering.
+  get their input rows permuted to our HWC/token-major ordering.
 
 The state dict can be a real torch checkpoint (torch is only imported
 if needed) or any {name: np.ndarray} mapping.
@@ -41,6 +48,31 @@ def _linear(v):
 
 def _ident(v):
     return _np(v)
+
+
+def _perm_linear(C: int, n_extra: int = 0, n_blocks: int = 1):
+    """Linear transform for torch Linears whose flattened input is
+    CHW-ordered (row index c*HW + s) while our flatten is token-major
+    (s*C + c). ``n_blocks`` leading same-size blocks (e.g. the two
+    images of a pair) are permuted independently; ``n_extra`` trailing
+    rows (appended pose / gating features) pass through unchanged.
+    HW is inferred from the weight shape."""
+
+    def tf(v):
+        w = _linear(v)  # (in, out)
+        hw = (w.shape[0] - n_extra) // (n_blocks * C)
+        if hw * n_blocks * C + n_extra != w.shape[0]:
+            raise ValueError(
+                f"cannot factor input dim {w.shape[0]} as "
+                f"{n_blocks}*{C}*HW + {n_extra}")
+        s = np.arange(hw)
+        c = np.arange(C)
+        base = (c[None, :] * hw + s[:, None]).reshape(-1)
+        perm = np.concatenate([base + b * C * hw for b in range(n_blocks)])
+        return np.concatenate([w[perm], w[C * hw * n_blocks:]], axis=0)
+
+    tf.__name__ = "_linear"  # torch-side shape matches a plain Linear
+    return tf
 
 
 def _bn_entries(src_prefix: str, dst_path: Tuple[str, ...]):
@@ -188,6 +220,206 @@ def build_loftr_mapping(cfg) -> Tuple[list, list]:
     return P, S
 
 
+def build_vitess_mapping(cfg) -> Tuple[list, list]:
+    """(param entries, batch_stats entries) for the ViTEss tree.
+
+    Source names follow interiornetStreetlearn_8ptVit/src/model.py
+    (torchvision resnet18 trunk, RAFT ResidualBlock, timm ViT blocks with
+    a final CrossBlock, pose/moe MLP heads). resnet.layer3/layer4/fc are
+    present in released checkpoints but unused (trunk stops at layer2).
+    """
+    P: List = []
+    S: List = []
+
+    def bn(src, dst):
+        p, s = _bn_entries(src, dst)
+        P.extend(p)
+        S.extend(s)
+
+    # ----- resnet18 trunk (through layer2) ------------------------------
+    P.append(("resnet.conv1.weight", ("resnet", "conv1", "kernel"), _conv))
+    bn("resnet.bn1", ("resnet", "bn1"))
+    for layer in ("layer1", "layer2"):
+        for b in range(2):
+            src = f"resnet.{layer}.{b}"
+            dst = ("resnet", f"{layer}_{b}")
+            P.append((f"{src}.conv1.weight", dst + ("conv1", "kernel"), _conv))
+            P.append((f"{src}.conv2.weight", dst + ("conv2", "kernel"), _conv))
+            bn(f"{src}.bn1", dst + ("bn1",))
+            bn(f"{src}.bn2", dst + ("bn2",))
+            if layer == "layer2" and b == 0:
+                P.append((f"{src}.downsample.0.weight",
+                          dst + ("down", "kernel"), _conv))
+                bn(f"{src}.downsample.1", dst + ("bn_down",))
+
+    # ----- RAFT residual block (extractor.py:5-49, kernel 5, batch) -----
+    e = ("extractor_final_conv",)
+    for c in ("conv1", "conv2"):
+        P.append((f"extractor_final_conv.{c}.weight",
+                  e + (c, "kernel"), _conv))
+        P.append((f"extractor_final_conv.{c}.bias", e + (c, "bias"), _ident))
+    bn("extractor_final_conv.norm1", e + ("norm1",))
+    bn("extractor_final_conv.norm2", e + ("norm2",))
+    P.append(("extractor_final_conv.downsample.0.weight",
+              e + ("down", "kernel"), _conv))
+    P.append(("extractor_final_conv.downsample.0.bias",
+              e + ("down", "bias"), _ident))
+    bn("extractor_final_conv.norm3", e + ("norm3",))
+
+    if cfg.fusion_transformer:
+        P.append(("fusion_transformer.pos_embed", ("pos_embed",), _ident))
+        for i in range(cfg.depth - 1):
+            src = f"fusion_transformer.blocks.{i}"
+            dst = (f"block_{i}",)
+            P += _ln_entries(f"{src}.norm1", dst + ("norm1",))
+            P += _lin_entries(f"{src}.attn.qkv", dst + ("qkv",))
+            P += _lin_entries(f"{src}.attn.proj", dst + ("proj",))
+            P += _ln_entries(f"{src}.norm2", dst + ("norm2",))
+            P += _lin_entries(f"{src}.mlp.fc1", dst + ("fc1",))
+            P += _lin_entries(f"{src}.mlp.fc2", dst + ("fc2",))
+        src = f"fusion_transformer.blocks.{cfg.depth - 1}"  # CrossBlock
+        dst = ("cross_block",)
+        P += _ln_entries(f"{src}.norm1", dst + ("norm1",))
+        P += _lin_entries(f"{src}.cross_attn.qkv",
+                          dst + ("cross_attn", "qkv"))
+        P += _lin_entries(f"{src}.cross_attn.proj_fundamental",
+                          dst + ("cross_attn", "proj_fundamental"))
+        P += _ln_entries(f"{src}.norm2", dst + ("norm2",))
+        P += _lin_entries(f"{src}.mlp.fc1", dst + ("mlp_fc1",))
+        P += _lin_entries(f"{src}.mlp.fc2", dst + ("mlp_fc2",))
+        P += _ln_entries("fusion_transformer.norm", ("norm",))
+        # transformer features flatten token-major on both sides
+        head_tf = _linear
+    else:
+        # pooling path (model.py:84-91): features flatten CHW per image
+        P.append(("pool_transformer_output.0.weight",
+                  ("pool1", "kernel"), _conv))
+        P.append(("pool_transformer_output.0.bias",
+                  ("pool1", "bias"), _ident))
+        bn("pool_transformer_output.1", ("pool_bn1",))
+        P.append(("pool_transformer_output.3.weight",
+                  ("pool2", "kernel"), _conv))
+        P.append(("pool_transformer_output.3.bias",
+                  ("pool2", "bias"), _ident))
+        bn("pool_transformer_output.4", ("pool_bn2",))
+        head_tf = None  # built per consumer below (n_extra differs)
+
+    def head_entries(src, dst_fmt, n_extra):
+        first_tf = head_tf or _perm_linear(cfg.pool_size, n_extra=n_extra,
+                                           n_blocks=2)
+        out = []
+        for i, j in ((0, 0), (2, 1), (4, 2)):
+            out += [(f"{src}.{i}.weight", (dst_fmt.format(j), "kernel"),
+                     first_tf if i == 0 else _linear),
+                    (f"{src}.{i}.bias", (dst_fmt.format(j), "bias"), _ident)]
+        return out
+
+    P += head_entries("pose_regressor", "pose_regressor_{}", 0)
+    if cfg.use_loftr_gating:
+        # moe input = [features, pred 9D, solver 9D + corr count]
+        P += head_entries("moe_predictor", "moe_{}", 19)
+    return P, S
+
+
+def build_sixdreg_mapping(cfg) -> Tuple[list, list]:
+    """(param entries, batch_stats entries) for MapfreeRegression.
+
+    Source names follow mapfree_6dreg/lib/models/regression/**
+    (ResUNet encoder, parameter-free CorrelationVolumeWarping aggregator,
+    DeepResBlock head trunk, torch TransformerEncoder, pose/moe MLPs).
+    Not mapped on purpose: `matcher.*` (the frozen LoFTR submodule —
+    convert with build_loftr_mapping into the matcher's own tree),
+    `s_r`/`s_t` (Kendall-Cipolla loss weights, trainer state, not model
+    params), and `head.resblock4/mlp` (only built when
+    full_forward_pass=True, the non-FAR configurations).
+    """
+    P: List = []
+    S: List = []
+
+    def bn(src, dst):
+        p, s = _bn_entries(src, dst)
+        P.extend(p)
+        S.extend(s)
+
+    def preact(src, dst, has_shortcut, n_convs: int = 2):
+        for c in range(1, n_convs + 1):
+            bn(f"{src}.bn{c}", dst + (f"bn{c}",))
+            P.append((f"{src}.conv{c}.weight",
+                      dst + (f"conv{c}", "kernel"), _conv))
+        if has_shortcut:
+            P.append((f"{src}.shortcut.0.weight",
+                      dst + ("shortcut", "kernel"), _conv))
+
+    # ----- ResUNet encoder (resunet.py:41-128) --------------------------
+    # BLOCK_TYPE selects PreActBlock (exp 1) / PreActBottleneck (exp 4)
+    exp = 4 if cfg.encoder_bottleneck else 1
+    n_convs = 3 if cfg.encoder_bottleneck else 2
+    enc = ("encoder",)
+    P.append(("encoder.firstconv.weight", enc + ("firstconv", "kernel"),
+              _conv))
+    bn("encoder.firstbn", enc + ("firstbn",))
+    in_planes = 64
+    for si, (name, planes, stride) in enumerate(
+            (("encoder1", 64, 1), ("encoder2", 128, 2),
+             ("encoder3", 256, 2))):
+        for b in range(cfg.encoder_blocks[si]):
+            st = stride if b == 0 else 1
+            preact(f"encoder.{name}.{b}", enc + (f"{name}_{b}",),
+                   has_shortcut=(st != 1 or in_planes != planes * exp),
+                   n_convs=n_convs)
+            in_planes = planes * exp
+    # decoder conv+bn pairs (the `conv`/`upconv` helpers, resunet.py:15-38)
+    for ours, theirs in (("upconv4", "upconv4.conv1"), ("iconv4", "iconv4"),
+                         ("upconv3", "upconv3.conv1"), ("iconv3", "iconv3"),
+                         ("outconv", "outconv")):
+        dst = enc + (ours,)
+        P.append((f"encoder.{theirs}.conv.weight",
+                  dst + ("Conv_0", "kernel"), _conv))
+        P.append((f"encoder.{theirs}.conv.bias",
+                  dst + ("Conv_0", "bias"), _ident))
+        bn(f"encoder.{theirs}.normalize", dst + ("BatchNorm_0",))
+
+    # aggregator: CorrelationVolumeWarping carries no parameters in the
+    # FAR configuration (CV_OUTLAYERS=0, UPSAMPLE_POS_ENC=0, no dustbin)
+
+    # ----- head trunk (head.py:27-49, full_forward_pass=False;
+    # plain PreActBlocks, stride 2, channel count changes every block) --
+    for b in (1, 2, 3):
+        preact(f"head.resblock{b}", ("head", f"resblock{b}"),
+               has_shortcut=True, n_convs=2)
+
+    # ----- vanilla TransformerEncoder (torch module names) --------------
+    if cfg.use_vanilla_transformer:
+        for i in range(cfg.transformer_layers):
+            src = f"transformer.layers.{i}"
+            dst = (f"transformer_{i}",)
+            P.append((f"{src}.self_attn.in_proj_weight",
+                      dst + ("qkv", "kernel"), _linear))
+            P.append((f"{src}.self_attn.in_proj_bias",
+                      dst + ("qkv", "bias"), _ident))
+            P += _lin_entries(f"{src}.self_attn.out_proj", dst + ("proj",))
+            P += _lin_entries(f"{src}.linear1", dst + ("ff1",))
+            P += _lin_entries(f"{src}.linear2", dst + ("ff2",))
+            P += _ln_entries(f"{src}.norm1", dst + ("norm1",))
+            P += _ln_entries(f"{src}.norm2", dst + ("norm2",))
+
+    # ----- pose / moe MLPs (CHW-flattened feature input) ----------------
+    def head_entries(src, dst_fmt, n_extra):
+        out = []
+        for i, j in ((0, 0), (2, 1), (4, 2)):
+            tf = _perm_linear(cfg.d_im, n_extra=n_extra) if i == 0 \
+                else _linear
+            out += [(f"{src}.{i}.weight", (dst_fmt.format(j), "kernel"), tf),
+                    (f"{src}.{i}.bias", (dst_fmt.format(j), "bias"), _ident)]
+        return out
+
+    P += head_entries("pose_regressor", "pose_regressor_{}", 0)
+    if cfg.use_solver_preds:
+        # moe input = [features, pred 9D, solver 9D + 3 inlier counts]
+        P += head_entries("moe_predictor", "moe_{}", 21)
+    return P, S
+
+
 def _set_path(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
               strict_shape: bool = True) -> bool:
     node = tree
@@ -206,22 +438,26 @@ def _set_path(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
     return True
 
 
-def convert_loftr_state_dict(
+def _apply_mapping(
     state_dict: Dict[str, Any],
     variables: Dict[str, Any],
-    cfg,
-    strip_prefix: str = "matcher.",
+    P: list,
+    S: list,
+    strip_prefix: str = "",
+    unused_ok=lambda k: False,
 ):
-    """Fill a FARLoFTR variables pytree from a torch state dict.
+    """Fill a Flax variables pytree from a torch state dict via a
+    (param entries, batch_stats entries) mapping.
 
     Returns (variables, report) where report lists converted / missing /
-    unused keys.
+    unused keys. ``unused_ok(key)`` marks source keys that are expected
+    to be left behind (frozen submodules, buffers, unused tails).
     """
     import jax
 
     sd = {}
     for k, v in state_dict.items():
-        if k.startswith(strip_prefix):
+        if strip_prefix and k.startswith(strip_prefix):
             k = k[len(strip_prefix):]
         sd[k] = v
 
@@ -229,7 +465,6 @@ def convert_loftr_state_dict(
     stats = jax.tree.map(np.asarray,
                          jax.device_get(variables.get("batch_stats", {})))
 
-    P, S = build_loftr_mapping(cfg)
     converted, missing = [], []
     used = set()
     for entries, tree in ((P, params), (S, stats)):
@@ -243,10 +478,73 @@ def convert_loftr_state_dict(
             else:
                 missing.append(torch_key)
     unused = [k for k in sd
-              if k not in used and not k.endswith("pe")  # pos-enc buffer
-              and "num_batches_tracked" not in k]
+              if k not in used and "num_batches_tracked" not in k
+              and not unused_ok(k)]
     report = {"converted": converted, "missing": missing, "unused": unused}
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats
     return out, report
+
+
+def convert_loftr_state_dict(
+    state_dict: Dict[str, Any],
+    variables: Dict[str, Any],
+    cfg,
+    strip_prefix: str = "matcher.",
+):
+    """Fill a FARLoFTR variables pytree from a torch state dict
+    (crockwell/far mp3d family, `matcher.`-prefixed)."""
+    P, S = build_loftr_mapping(cfg)
+    return _apply_mapping(
+        state_dict, variables, P, S, strip_prefix=strip_prefix,
+        unused_ok=lambda k: k.endswith("pe"),  # pos-enc buffer
+    )
+
+
+def convert_vitess_state_dict(
+    state_dict: Dict[str, Any],
+    variables: Dict[str, Any],
+    cfg,
+    strip_prefix: str = "module.",
+):
+    """Fill a ViTEss variables pytree from a torch state dict
+    (interiornetStreetlearn_8ptVit checkpoints; DDP `module.` prefix).
+
+    Expected-unused source keys: resnet.layer3/layer4/fc (the trunk
+    stops at layer2, model.py:147-152) and the duplicate registration of
+    the extractor's norm3 under downsample.1."""
+    P, S = build_vitess_mapping(cfg)
+    return _apply_mapping(
+        state_dict, variables, P, S, strip_prefix=strip_prefix,
+        unused_ok=lambda k: (
+            k.startswith(("resnet.layer3.", "resnet.layer4.", "resnet.fc."))
+            or k.startswith("extractor_final_conv.downsample.1.")
+        ),
+    )
+
+
+def convert_sixdreg_state_dict(
+    state_dict: Dict[str, Any],
+    variables: Dict[str, Any],
+    cfg,
+    strip_prefix: str = "",
+):
+    """Fill a MapfreeRegression variables pytree from a torch state dict
+    (mapfree_6dreg Lightning checkpoints).
+
+    Expected-unused source keys: the frozen `matcher.*`/`matching.*`
+    LoFTR/SuperGlue submodule (convert separately with
+    convert_loftr_state_dict into the matcher's tree), `s_r`/`s_t`
+    (Kendall-Cipolla loss weights — optimizer-side, not model params),
+    and head.resblock4/head.mlp (only built when full_forward_pass=True,
+    i.e. the non-FAR configurations)."""
+    P, S = build_sixdreg_mapping(cfg)
+    return _apply_mapping(
+        state_dict, variables, P, S, strip_prefix=strip_prefix,
+        unused_ok=lambda k: (
+            k.startswith(("matcher.", "matching.", "head.resblock4.",
+                          "head.mlp."))
+            or k in ("s_r", "s_t")
+        ),
+    )
