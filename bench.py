@@ -18,9 +18,98 @@ cv2 solver hops; see BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def profile_stages(B: int = 16, iters: int = 10):
+    """Per-stage timing table (the README profile breakdown).
+
+    Each pipeline stage is jitted and timed separately with a final
+    device fetch, on the same shapes the e2e bench uses. Stage sums
+    exceed the fused e2e time slightly (XLA fuses across stage
+    boundaries in the real program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from far_tpu.models.loftr import FARLoFTR
+    from far_tpu.pipeline import init_model, make_solver_configs
+    from far_tpu.solvers.pose_estimation import estimate_pose
+    from far_tpu.types import PairBatch
+    from far_tpu.utils.config import FARConfig
+
+    cfg = FARConfig(dtype="bfloat16")
+    model, variables = init_model(cfg, seed=0, batch_size=B)
+    first_cfg, refine_cfg = make_solver_configs(cfg)
+    H, W = cfg.image_size
+    K = np.array([[517.97, 0, 320.0], [0, 517.97, 240.0], [0, 0, 1]],
+                 np.float32)
+    K_dev = jnp.tile(jnp.asarray(K)[None], (B, 1, 1))
+    key = jax.random.PRNGKey(0)
+    batch = PairBatch(
+        image0=jax.random.uniform(key, (B, H, W, 1), jnp.float32),
+        image1=jax.random.uniform(jax.random.fold_in(key, 1),
+                                  (B, H, W, 1), jnp.float32),
+        K0=K_dev, K1=K_dev,
+    )
+
+    match_fn = jax.jit(lambda v, b: model.apply(
+        v, b, train=False, method=FARLoFTR.match, mutable=False))
+    out = jax.block_until_ready(match_fn(variables, batch))
+    m = out.matches
+
+    feat_fn = jax.jit(lambda v, f0, f1: model.apply(
+        v, f0, f1, method=FARLoFTR.regress_features, mutable=False))
+    features = jax.block_until_ready(
+        feat_fn(variables, out.feat_c0, out.feat_c1))
+
+    solve_first = jax.jit(lambda k: estimate_pose(
+        k, m.mkpts0_f, m.mkpts1_f, batch.K0, batch.K1, m.valid,
+        translation_scale=out.translation_scale, cfg=first_cfg))
+    est = jax.block_until_ready(solve_first(key))
+
+    from far_tpu.pipeline import _summarize
+    summary = _summarize(est, jnp.sum(m.valid.astype(jnp.float32), -1))
+    fuse_fn = jax.jit(lambda v, f, s: model.apply(
+        v, f, s, method=FARLoFTR.regress_fuse, mutable=False))
+    pose_9d, _, _ = jax.block_until_ready(
+        fuse_fn(variables, features, summary))
+
+    from far_tpu.models.constants import denormalize_9d
+    prior_rt = jax.block_until_ready(jax.jit(denormalize_9d)(pose_9d))
+    solve_prior = jax.jit(lambda k: estimate_pose(
+        k, m.mkpts0_f, m.mkpts1_f, batch.K0, batch.K1, m.valid,
+        prior_rt=prior_rt, translation_scale=out.translation_scale,
+        cfg=refine_cfg))
+    jax.block_until_ready(solve_prior(key))
+
+    def timeit(fn, *args):
+        jax.block_until_ready(fn(*args))  # re-warm
+        t0 = time.perf_counter()
+        for i in range(iters):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    rows = [
+        ("matcher (backbone+coarse+match+fine)",
+         timeit(match_fn, variables, batch)),
+        ("EMM regressor features", timeit(feat_fn, variables, out.feat_c0,
+                                          out.feat_c1)),
+        (f"RANSAC round 1 ({first_cfg.minimal_solver}, "
+         f"{first_cfg.num_hypotheses} hyps)", timeit(solve_first, key)),
+        ("regress+MoE fuse (x2 rounds)",
+         2 * timeit(fuse_fn, variables, features, summary)),
+        (f"prior-RANSAC round 2 ({refine_cfg.minimal_solver})",
+         timeit(solve_prior, key)),
+    ]
+    total = sum(t for _, t in rows)
+    print(f"{'stage':<46} ms @ B={B}   ms/pair")
+    for name, t in rows:
+        print(f"{name:<46} {t:8.2f} {t / B:9.3f}")
+    print(f"{'sum of stages':<46} {total:8.2f} {total / B:9.3f}")
 
 
 def main():
@@ -79,4 +168,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--profile" in sys.argv:
+        profile_stages()
+    else:
+        main()

@@ -3,11 +3,11 @@
 Behavioral equivalent of crockwell/far:
 mp3d_loftr/src/loftr/loftr_module/linear_attention.py. The linear
 variant is the reference's long-sequence mechanism (O(N) in the 4800
-coarse tokens); on TPU both the KV aggregation and the output einsums
-lower to MXU matmuls, and XLA fuses the feature maps into them — no
-hand-written kernel is needed for this op (the Pallas kernels in
-far_tpu.ops cover the dual-softmax bilinear EMM and coarse matching,
-which XLA does not fuse well).
+coarse tokens). These jnp paths serve the short-sequence cases (fine
+5x5 windows via the tiny-window VPU branch below) and masked inputs;
+for the long unmasked coarse stack, LoFTREncoderLayer dispatches the
+whole layer (projections + linear attention + merge + MLP + norms) to
+one fused Pallas kernel, far_tpu.ops.loftr_layer.
 """
 
 from __future__ import annotations

@@ -49,6 +49,65 @@ def resize_bilinear_align_corners(x: jnp.ndarray, factor: int = 2) -> jnp.ndarra
     return x
 
 
+class _StemConv(nn.Module):
+    """7x7/stride-2 stem conv, computed as a 4x4/stride-1 conv on the
+    2x2 space-to-depth input.
+
+    The raw stem contracts over k*k*C_in = 49 values (grayscale input) —
+    pathological MXU utilization (measured 4.3 TF/s vs 80+ TF/s for the
+    body convs on v5e). The space-to-depth rewrite is numerically
+    identical: out(y,x) = sum_{u,v} w[u,v] in[2y+u-3, 2x+v-3] regrouped
+    by the parity of u-3 and v-3 into a 4x4 kernel over 4*C_in channels
+    with asymmetric padding (2,1). The parameter keeps the reference
+    (7,7,C,O) shape so checkpoint conversion is unchanged.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+
+        B, H, W, C = x.shape
+        O = self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, C, O),
+            jnp.float32,
+        )
+        if H % 2 or W % 2:  # odd sizes: fall back to the direct conv
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+        # w2[m, n, (da*2+db)*C + c, o] = w[2m+da-1, 2n+db-1, c, o]
+        w = kernel.astype(self.dtype)
+        zero = jnp.zeros((C, O), self.dtype)
+        rows = []
+        for m in range(4):
+            cols = []
+            for n in range(4):
+                chans = []
+                for da in range(2):
+                    for db in range(2):
+                        u, v = 2 * m + da - 1, 2 * n + db - 1
+                        chans.append(w[u, v] if 0 <= u < 7 and 0 <= v < 7
+                                     else zero)
+                cols.append(jnp.concatenate(chans, axis=0))  # (4C, O)
+            rows.append(jnp.stack(cols))                      # (4, 4C, O)
+        w2 = jnp.stack(rows)                                  # (4, 4, 4C, O)
+
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype), w2, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class _Norm(nn.Module):
     """BatchNorm or GroupNorm switch."""
 
@@ -127,8 +186,7 @@ class ResNetFPN_8_2(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         d = self.dtype
-        x0 = nn.Conv(self.initial_dim, (7, 7), (2, 2), padding=3,
-                     use_bias=False, dtype=d)(x)
+        x0 = _StemConv(self.initial_dim, dtype=d, name="Conv_0")(x)
         x0 = _Norm(self.norm, d)(x0, train)
         x0 = nn.relu(x0)
 
@@ -137,15 +195,18 @@ class ResNetFPN_8_2(nn.Module):
         x3 = _Stage(self.block_dims[2], 2, self.norm, d)(x2, train)   # 1/8
 
         # FPN top-down
-        x3_out = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d)(x3)
+        x3_out = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d,
+                         name="Conv_1")(x3)
 
         x3_up = resize_bilinear_align_corners(x3_out)
-        x2_lat = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d)(x2)
+        x2_lat = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d,
+                         name="Conv_2")(x2)
         x2_out = _OutConv2(self.block_dims[2], self.block_dims[1], self.norm, d)(
             x2_lat + x3_up, train)
 
         x2_up = resize_bilinear_align_corners(x2_out)
-        x1_lat = nn.Conv(self.block_dims[1], (1, 1), use_bias=False, dtype=d)(x1)
+        x1_lat = nn.Conv(self.block_dims[1], (1, 1), use_bias=False, dtype=d,
+                         name="Conv_3")(x1)
         x1_out = _OutConv2(self.block_dims[1], self.block_dims[0], self.norm, d)(
             x1_lat + x2_up, train)
 
@@ -163,8 +224,7 @@ class ResNetFPN_16_4(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         d = self.dtype
-        x0 = nn.Conv(self.initial_dim, (7, 7), (2, 2), padding=3,
-                     use_bias=False, dtype=d)(x)
+        x0 = _StemConv(self.initial_dim, dtype=d, name="Conv_0")(x)
         x0 = _Norm(self.norm, d)(x0, train)
         x0 = nn.relu(x0)
 
@@ -173,15 +233,18 @@ class ResNetFPN_16_4(nn.Module):
         x3 = _Stage(self.block_dims[2], 2, self.norm, d)(x2, train)   # 1/8
         x4 = _Stage(self.block_dims[3], 2, self.norm, d)(x3, train)   # 1/16
 
-        x4_out = nn.Conv(self.block_dims[3], (1, 1), use_bias=False, dtype=d)(x4)
+        x4_out = nn.Conv(self.block_dims[3], (1, 1), use_bias=False, dtype=d,
+                         name="Conv_1")(x4)
 
         x4_up = resize_bilinear_align_corners(x4_out)
-        x3_lat = nn.Conv(self.block_dims[3], (1, 1), use_bias=False, dtype=d)(x3)
+        x3_lat = nn.Conv(self.block_dims[3], (1, 1), use_bias=False, dtype=d,
+                         name="Conv_2")(x3)
         x3_out = _OutConv2(self.block_dims[3], self.block_dims[2], self.norm, d)(
             x3_lat + x4_up, train)
 
         x3_up = resize_bilinear_align_corners(x3_out)
-        x2_lat = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d)(x2)
+        x2_lat = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d,
+                         name="Conv_3")(x2)
         x2_out = _OutConv2(self.block_dims[2], self.block_dims[1], self.norm, d)(
             x2_lat + x3_up, train)
 

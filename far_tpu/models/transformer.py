@@ -7,12 +7,49 @@ mp3d_loftr/src/loftr/loftr_module/transformer.py:12-112
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from far_tpu.models.attention import full_attention, linear_attention
+from far_tpu.ops.loftr_layer import fused_loftr_layer
+
+
+class _Kernel(nn.Module):
+    """Raw weight holder at the same path nn.Dense(use_bias=False) would
+    use — the fused Pallas layer needs the kernels, not bound modules."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _LNParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    """flax nn.LayerNorm semantics: statistics in f32, normalize
+    arithmetic in the compute dtype (keeps the big elementwise pass
+    at bf16 HBM cost)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    dt = x.dtype
+    inv = jax.lax.rsqrt(var + eps).astype(dt)
+    return (x - mu.astype(dt)) * inv * scale.astype(dt) + bias.astype(dt)
 
 
 class LoFTREncoderLayer(nn.Module):
@@ -20,6 +57,12 @@ class LoFTREncoderLayer(nn.Module):
 
     message = norm1(merge(attn(q(x), k(src), v(src))))
     out     = x + norm2(mlp([x, message]))
+
+    On TPU with linear attention over the long (coarse) token sets the
+    whole layer runs as one fused Pallas kernel (far_tpu.ops.loftr_layer)
+    — the unfused version pushes the 39 MB token tensors through HBM
+    ~10x per layer. Other configurations use the reference-structured
+    XLA path below; both share one parameter tree.
     """
 
     d_model: int
@@ -37,23 +80,40 @@ class LoFTREncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         B, L, C = x.shape
         dim = self.d_model // self.nhead
-        dense = lambda name: nn.Dense(self.d_model, use_bias=False,
-                                      dtype=self.dtype, name=name)
-        q = dense("q_proj")(x).reshape(B, L, self.nhead, dim)
-        k = dense("k_proj")(source).reshape(B, -1, self.nhead, dim)
-        v = dense("v_proj")(source).reshape(B, -1, self.nhead, dim)
-        attn = linear_attention if self.attention == "linear" else full_attention
-        message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
-        message = dense("merge")(message.reshape(B, L, C))
-        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
+        wq = _Kernel((C, C), name="q_proj")()
+        wk = _Kernel((C, C), name="k_proj")()
+        wv = _Kernel((C, C), name="v_proj")()
+        wm = _Kernel((C, C), name="merge")()
+        ln1 = _LNParams(C, name="norm1")()
+        w0 = _Kernel((2 * C, 2 * C), name="mlp_0")()
+        w1 = _Kernel((2 * C, C), name="mlp_1")()
+        ln2 = _LNParams(C, name="norm2")()
 
-        y = jnp.concatenate([x, message], axis=-1)
-        y = nn.Dense(2 * self.d_model, use_bias=False, dtype=self.dtype,
-                     name="mlp_0")(y)
-        y = nn.relu(y)
-        y = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                     name="mlp_1")(y)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+        if (self.attention == "linear" and x_mask is None
+                and source_mask is None and x.shape == source.shape
+                and L >= 1024 and L % 8 == 0 and C % 128 == 0):
+            return fused_loftr_layer(
+                x, source,
+                {"wq": wq, "wk": wk, "wv": wv, "wm": wm,
+                 "w0x": w0[:C], "w0m": w0[C:], "w1": w1,
+                 "ln1": jnp.stack(ln1), "ln2": jnp.stack(ln2)},
+                self.nhead)
+
+        dt = self.dtype
+        dense = lambda a, w: a.astype(dt) @ w.astype(dt)
+        q = dense(x, wq).reshape(B, L, self.nhead, dim)
+        k = dense(source, wk).reshape(B, -1, self.nhead, dim)
+        v = dense(source, wv).reshape(B, -1, self.nhead, dim)
+        attn = linear_attention if self.attention == "linear" \
+            else full_attention
+        message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
+        message = dense(message.reshape(B, L, C), wm)
+        message = _layer_norm(message, *ln1)
+
+        y = jnp.concatenate([x.astype(dt), message], axis=-1)
+        y = nn.relu(dense(y, w0))
+        y = dense(y, w1)
+        y = _layer_norm(y, *ln2)
         return x + y
 
 

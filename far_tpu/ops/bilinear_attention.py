@@ -35,58 +35,64 @@ _NEG_INF = -1e30
 
 def _kernel(q_ref, kt_ref, v_ref, out_ref,
             *, block: int, n: int, scale: float):
-    """Blocks: q (1, N, D), kt (1, D, N) pre-transposed, v (1, N, Dv)."""
+    """Blocks: q (1, N, D), kt (1, D, N) pre-transposed, v (1, N, Dv).
+
+    Single pass over row blocks. Rows of S live entirely inside one
+    (block, N) tile, so the row softmax R = softmax_rows(S_b) is exact
+    locally; the column factor is handled flash-style with a running
+    column max and a rescaled accumulator
+
+        G[u, m] = sum_n v[n, u] * R[n, m] * exp(S[n, m] - cmax[m])
+
+    carried as a (Dv, N) f32 tile (cmax rides the lane axis, so the
+    rescale is a natural (1, N) broadcast). At the end
+    F = (G / csum) @ V. Versus the two-pass formulation this computes
+    S once instead of twice and spends 2 exps/element instead of 3;
+    both exponents are <= 0 so nothing overflows, and the rescale
+    factors are <= 1 as in standard flash attention.
+    """
     nb = n // block
     kt_all = kt_ref[0, :, :]
     v_all = v_ref[0, :, :]
+    dv = v_ref.shape[2]
 
-    def s_block(i):
+    def body(i, carry):
+        G, cmax, csum = carry
         qb = q_ref[0, pl.ds(i * block, block), :]
-        return jax.lax.dot_general(
+        s = jax.lax.dot_general(
             qb, kt_all, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (block, N) f32
 
-    # ---------- pass 1: streaming column (max, sumexp) stats ---------------
-    def p1(i, carry):
-        cmax, csum = carry  # (1, N) each
-        s = s_block(i)
-        bmax = jnp.max(s, axis=0, keepdims=True)
-        cmax_new = jnp.maximum(cmax, bmax)
-        csum_new = csum * jnp.exp(cmax - cmax_new) + jnp.sum(
-            jnp.exp(s - cmax_new), axis=0, keepdims=True
-        )
-        return cmax_new, csum_new
+        rmax = jnp.max(s, axis=1, keepdims=True)       # (block, 1)
+        e = jnp.exp(s - rmax)
+        rinv = 1.0 / jnp.sum(e, axis=1, keepdims=True)
 
-    cmax, csum = jax.lax.fori_loop(
-        0, nb, p1,
-        (jnp.full((1, n), _NEG_INF, jnp.float32),
+        bmax = jnp.max(s, axis=0, keepdims=True)       # (1, N)
+        cnew = jnp.maximum(cmax, bmax)
+        fix = jnp.exp(cmax - cnew)                     # (1, N), <= 1
+        E = jnp.exp(s - cnew)                          # (block, N)
+        csum = csum * fix + jnp.sum(E, axis=0, keepdims=True)
+
+        P = ((e * rinv) * E).astype(v_all.dtype)       # (block, N)
+        vb = v_ref[0, pl.ds(i * block, block), :]
+        G = G * fix + jax.lax.dot_general(
+            vb, P, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Dv, N)
+        return G, cnew, csum
+
+    G, cmax, csum = jax.lax.fori_loop(
+        0, nb, body,
+        (jnp.zeros((dv, n), jnp.float32),
+         jnp.full((1, n), _NEG_INF, jnp.float32),
          jnp.zeros((1, n), jnp.float32)),
     )
-    cinv = 1.0 / csum  # (1, N)
-
-    # ---------- pass 2: accumulate F = sum_blocks V_b^T A_b V --------------
-    def p2(i, acc):
-        s = s_block(i)
-        rmax = jnp.max(s, axis=1, keepdims=True)   # (block, 1)
-        e = jnp.exp(s - rmax)
-        rsum = jnp.sum(e, axis=1, keepdims=True)
-        # both exponents are <= 0, so neither exp can overflow
-        a = (e / rsum) * (jnp.exp(s - cmax) * cinv)
-        w = jax.lax.dot_general(
-            a.astype(v_all.dtype), v_all, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block, Dv)
-        vb = v_ref[0, pl.ds(i * block, block), :]
-        return acc + jax.lax.dot_general(
-            vb, w.astype(vb.dtype), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Dv, Dv)
-
-    dv = v_ref.shape[2]
-    out_ref[0, :, :] = jax.lax.fori_loop(
-        0, nb, p2, jnp.zeros((dv, dv), jnp.float32)
-    )
+    H = (G * (1.0 / csum)).astype(v_all.dtype)         # (Dv, N)
+    out_ref[0, :, :] = jax.lax.dot_general(
+        H, v_all, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Dv, Dv)
 
 
 def _pick_block(n: int) -> int:

@@ -41,7 +41,8 @@ def make_solver_configs(cfg: FARConfig) -> Tuple[SolverConfig, SolverConfig]:
     )
     if so.solver == "prior_ransac":
         first = SolverConfig(solver="prior_ransac_noprior", **base)
-        refine = SolverConfig(solver="prior_ransac", **base)
+        refine = SolverConfig(solver="prior_ransac", **{
+            **base, "num_hypotheses": so.refine_num_hypotheses})
     elif so.solver == "prior_ransac_noprior":
         first = refine = SolverConfig(solver="prior_ransac_noprior", **base)
     else:
