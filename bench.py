@@ -158,13 +158,58 @@ def main():
     assert np.isfinite(acc)
     pairs_per_sec = B * iters / dt
 
+    # --- solver-accuracy guard -------------------------------------------
+    # The throughput loop above runs a randomly initialized model, so it
+    # cannot see a solver-accuracy regression. Solve B synthetic scenes
+    # (known pose, 0.5 px noise) with the production RANSAC config and
+    # report the median rotation error next to pairs/s.
+    from far_tpu.pipeline import make_solver_configs
+    from far_tpu.solvers.pose_estimation import estimate_pose
+
+    rng = np.random.default_rng(0)
+    Npts = 512
+    pts3 = rng.uniform([-2, -2, 3], [2, 2, 8], (B, Npts, 3)).astype(np.float32)
+    aa = rng.normal(0, 0.15, (B, 3)).astype(np.float32)
+    th = np.linalg.norm(aa, axis=-1, keepdims=True)
+    ax = aa / np.maximum(th, 1e-9)
+    kx = np.zeros((B, 3, 3), np.float32)
+    kx[:, 0, 1], kx[:, 0, 2] = -ax[:, 2], ax[:, 1]
+    kx[:, 1, 0], kx[:, 1, 2] = ax[:, 2], -ax[:, 0]
+    kx[:, 2, 0], kx[:, 2, 1] = -ax[:, 1], ax[:, 0]
+    c, s = np.cos(th)[..., None], np.sin(th)[..., None]
+    R_gt = np.eye(3, dtype=np.float32) + s * kx + (1 - c) * (kx @ kx)
+    t_gt = rng.normal(0, 0.5, (B, 3)).astype(np.float32)
+    p1 = np.einsum("bij,bnj->bni", R_gt, pts3) + t_gt[:, None]
+    Kn = np.asarray(K)
+
+    def proj(p):
+        uv = p[..., :2] / p[..., 2:3]
+        return uv * np.array([Kn[0, 0], Kn[1, 1]]) + np.array(
+            [Kn[0, 2], Kn[1, 2]])
+
+    kp0 = proj(pts3) + rng.normal(0, 0.5, (B, Npts, 2))
+    kp1 = proj(p1) + rng.normal(0, 0.5, (B, Npts, 2))
+    ok = (pts3[..., 2] > 0.1) & (p1[..., 2] > 0.1)
+    first_cfg, _ = make_solver_configs(cfg)
+    est = jax.jit(lambda k: estimate_pose(
+        k, jnp.asarray(kp0, jnp.float32), jnp.asarray(kp1, jnp.float32),
+        K_dev, K_dev, jnp.asarray(ok), cfg=first_cfg))(jax.random.PRNGKey(7))
+    # f64 host geodesic: f32 acos saturates below ~0.02 deg
+    R_est = np.asarray(est.R, np.float64)
+    cosang = (np.einsum("bij,bij->b", R_est, R_gt.astype(np.float64))
+              - 1.0) / 2.0
+    r_err = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
+    rot_med = float(np.median(r_err))
+
     baseline = 62.5  # pairs/sec/chip implied by the 500 pairs/s v5e-8 target
     print(json.dumps({
         "metric": "far_e2e_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 1),
         "unit": "image pairs/sec/chip (480x640, full FAR loop, B=16)",
         "vs_baseline": round(pairs_per_sec / baseline, 2),
+        "solver_rot_err_med_deg": round(rot_med, 3),
     }))
+    assert rot_med < 2.0, f"solver accuracy regressed: {rot_med} deg"
 
 
 if __name__ == "__main__":

@@ -124,16 +124,21 @@ def det_gauss_mixed(M: jnp.ndarray) -> jnp.ndarray:
         (...,) determinants (up to the global det(Q) sign).
     """
     n = M.shape[-1]
-    A = jnp.asarray(_det_mix(n), M.dtype) @ M
-    rows = jnp.arange(n)
+    Q = _det_mix(n)
+    # Component-wise elimination on n*n (...,)-shaped arrays: the
+    # (..., n, n) layout puts only n=10 elements on the 128-lane axis;
+    # unpacking to scalars-per-component keeps every op fully tiled.
+    a = [[sum(float(Q[i, k]) * M[..., k, j] for k in range(n))
+          for j in range(n)] for i in range(n)]
     det = jnp.ones(M.shape[:-2], M.dtype)
     for k in range(n):
-        piv = A[..., k, k]
+        piv = a[k][k]
         det = det * piv
         inv_piv = jnp.where(jnp.abs(piv) < _EPS, 0.0, 1.0 / piv)
-        factor = A[..., :, k] * inv_piv[..., None]
-        factor = factor * (rows > k).astype(M.dtype)
-        A = A - factor[..., :, None] * A[..., k : k + 1, :]
+        for i in range(k + 1, n):
+            f = a[i][k] * inv_piv
+            for j in range(k + 1, n):
+                a[i][j] = a[i][j] - f * a[k][j]
     return det
 
 
@@ -220,21 +225,33 @@ def _constraints_at(Ebasis: jnp.ndarray, x, y, z) -> jnp.ndarray:
         (..., P, 10): [det E, vec(2 E E^T E - tr(E E^T) E)].
     """
     coef = jnp.stack([x, y, z, jnp.ones_like(x)], axis=-1)  # (..., P, 4)
-    E = jnp.einsum("...pk,...kij->...pij", coef, Ebasis)    # (..., P, 3, 3)
-    Et = jnp.swapaxes(E, -1, -2)
-    EEt = E @ Et
-    tr = jnp.trace(EEt, axis1=-2, axis2=-1)[..., None, None]
-    Ct = 2.0 * (EEt @ E) - tr * E                            # (..., P, 3, 3)
+    # Unpack E's nine entries as (..., P) arrays and do all the matrix
+    # algebra elementwise: batched (3, 3) matmuls tile to <1% of a TPU
+    # (8, 128) register, while (..., P) broadcasts vectorize fully —
+    # measured ~4x on the production 5-point solve.
+    Eb = Ebasis.reshape(*Ebasis.shape[:-2], 9)               # (..., 4, 9)
+    e = [jnp.einsum("...pk,...k->...p", coef, Eb[..., k])
+         for k in range(9)]                                  # 9 x (..., P)
+    E = [e[0:3], e[3:6], e[6:9]]
 
-    a = E
+    # M = E E^T (symmetric): m[i][j] = sum_k E[i][k] * E[j][k]
+    def dot3(u, v):
+        return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+    m = [[dot3(E[i], E[j]) for j in range(3)] for i in range(3)]
+    tr = m[0][0] + m[1][1] + m[2][2]
+    # Ct[i][j] = 2 * sum_k m[i][k] E[k][j] - tr * E[i][j]
+    ct = [
+        2.0 * (m[i][0] * E[0][j] + m[i][1] * E[1][j] + m[i][2] * E[2][j])
+        - tr * E[i][j]
+        for i in range(3) for j in range(3)
+    ]
     d = (
-        a[..., 0, 0] * (a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1])
-        - a[..., 0, 1] * (a[..., 1, 0] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 0])
-        + a[..., 0, 2] * (a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0])
+        E[0][0] * (E[1][1] * E[2][2] - E[1][2] * E[2][1])
+        - E[0][1] * (E[1][0] * E[2][2] - E[1][2] * E[2][0])
+        + E[0][2] * (E[1][0] * E[2][1] - E[1][1] * E[2][0])
     )
-    return jnp.concatenate(
-        [d[..., None], Ct.reshape(*Ct.shape[:-2], 9)], axis=-1
-    )
+    return jnp.stack([d] + ct, axis=-1)                      # (..., P, 10)
 
 
 def _c_of_z(Ebasis: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
@@ -290,8 +307,12 @@ def durand_kerner_roots(coeffs: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
     init = jnp.broadcast_to(init, coeffs.shape[:-1] + (n,))
 
     def body(_, w):
-        wp = w[..., None] ** powers                          # (..., n, n+1)
-        pw = jnp.sum(wp * c[..., None, :], axis=-1)
+        # Horner evaluation: 10 complex fmas. (w ** powers lowers to
+        # complex pow = log/exp per element — measured ~10x the cost of
+        # the whole rest of the iteration.)
+        pw = jnp.broadcast_to(c[..., None, -1], w.shape)
+        for kk in range(n - 1, -1, -1):
+            pw = pw * w + c[..., None, kk]
         diff = w[..., :, None] - w[..., None, :]             # (..., n, n)
         diff = diff + jnp.eye(n, dtype=w.dtype)              # self-term -> 1
         denom = jnp.prod(diff, axis=-1)
@@ -345,10 +366,23 @@ def _solve_from_basis(
     nrm = jnp.linalg.norm(E, axis=(-2, -1), keepdims=True)
     E = E * (jnp.sqrt(jnp.asarray(2.0, E.dtype)) / (nrm + _EPS))
 
+    # essential-manifold check on the normalized candidate: true roots
+    # have det E ~ 0 (f32 noise level); spurious near-real DK roots that
+    # survive the magnitude filters don't
+    det_e = (
+        E[..., 0, 0] * (E[..., 1, 1] * E[..., 2, 2]
+                        - E[..., 1, 2] * E[..., 2, 1])
+        - E[..., 0, 1] * (E[..., 1, 0] * E[..., 2, 2]
+                          - E[..., 1, 2] * E[..., 2, 0])
+        + E[..., 0, 2] * (E[..., 1, 0] * E[..., 2, 1]
+                          - E[..., 1, 1] * E[..., 2, 0])
+    )
+
     valid = (
         is_real
         & finite_xy
         & (jnp.abs(z) < 1e3) & (jnp.abs(x) < 1e3) & (jnp.abs(y) < 1e3)
+        & (jnp.abs(det_e) < 2.5e-2)
         & jnp.all(jnp.isfinite(E), axis=(-1, -2))
     )
     # keep the masked-out slots finite so downstream arithmetic (epipolar

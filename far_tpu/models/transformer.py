@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from far_tpu.models.attention import full_attention, linear_attention
-from far_tpu.ops.loftr_layer import fused_loftr_layer
+from far_tpu.ops.loftr_layer import loftr_layer_auto
 
 
 class _Kernel(nn.Module):
@@ -89,10 +89,15 @@ class LoFTREncoderLayer(nn.Module):
         w1 = _Kernel((2 * C, C), name="mlp_1")()
         ln2 = _LNParams(C, name="norm2")()
 
+        # The fused kernel wins only on the long coarse token sets; for
+        # the tiny fine windows the XLA tiny-window VPU path (see
+        # attention.py) beats a window-batched kernel (the per-window
+        # block-diagonal matmuls waste nb x FLOPs — measured 37 ms vs
+        # 27 ms for the fine stage), so the small-L case stays here.
         if (self.attention == "linear" and x_mask is None
                 and source_mask is None and x.shape == source.shape
                 and L >= 1024 and L % 8 == 0 and C % 128 == 0):
-            return fused_loftr_layer(
+            return loftr_layer_auto(
                 x, source,
                 {"wq": wq, "wk": wk, "wv": wv, "wm": wm,
                  "w0x": w0[:C], "w0m": w0[C:], "w1": w1,

@@ -113,16 +113,50 @@ def bilinear_dual_softmax_reference(q, k, v, scale):
     return jnp.einsum("bhnu,bhnv->bhuv", vf, w)
 
 
-def bilinear_dual_softmax(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+def bilinear_dual_softmax_streaming(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    block: int = 512,
 ) -> jnp.ndarray:
-    """F[b,h] = v^T (softmax_r(S) * softmax_c(S)) v with S = scale q k^T.
+    """jnp twin of the Pallas kernel: lax.scan over row blocks with a
+    checkpointed body, so S is never materialized and autodiff through
+    it is memory-feasible at N=4800 (the full-matrix reference needs a
+    ~5.9 GB (B, H, N, N) residual). Used as the backward path of
+    bilinear_dual_softmax during training."""
+    B, H, N, D = q.shape
+    Dv = v.shape[-1]
+    nb = N // block
+    qf = jnp.moveaxis(q.reshape(B, H, nb, block, D), 2, 0)
+    vf = jnp.moveaxis(v.reshape(B, H, nb, block, Dv), 2, 0)
+    kT = jnp.swapaxes(k, -1, -2)  # (B, H, D, N)
 
-    Args:
-        q, k: (B, H, N, D); v: (B, H, N, Dv).
-    Returns:
-        (B, H, Dv, Dv) float32.
-    """
+    @jax.checkpoint
+    def body(carry, xs):
+        G, cmax, csum = carry
+        qb, vb = xs
+        s = jnp.einsum("bhld,bhdn->bhln", qb.astype(jnp.float32),
+                       kT.astype(jnp.float32)) * scale
+        rmax = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - rmax)
+        rinv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        bmax = jnp.max(s, axis=-2, keepdims=True)
+        cnew = jnp.maximum(cmax, bmax)
+        fix = jnp.exp(cmax - cnew)
+        E = jnp.exp(s - cnew)
+        csum = csum * fix + jnp.sum(E, axis=-2, keepdims=True)
+        P = (e * rinv) * E
+        G = G * fix + jnp.einsum("bhlu,bhlm->bhum",
+                                 vb.astype(jnp.float32), P)
+        return (G, cnew, csum), None
+
+    init = (jnp.zeros((B, H, Dv, N), jnp.float32),
+            jnp.full((B, H, 1, N), _NEG_INF, jnp.float32),
+            jnp.zeros((B, H, 1, N), jnp.float32))
+    (G, cmax, csum), _ = jax.lax.scan(body, init, (qf, vf))
+    Hm = G / csum
+    return jnp.einsum("bhum,bhmw->bhuw", Hm, v.astype(jnp.float32))
+
+
+def _dispatch(q, k, v, scale):
     B, H, N, D = q.shape
     Dv = v.shape[-1]
     block = _pick_block(N)
@@ -153,3 +187,38 @@ def bilinear_dual_softmax(
         ),
     )(qf, ktf, vf)
     return out.reshape(B, H, Dv, Dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bilinear_dual_softmax(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """F[b,h] = v^T (softmax_r(S) * softmax_c(S)) v with S = scale q k^T.
+
+    Args:
+        q, k: (B, H, N, D); v: (B, H, N, Dv).
+    Returns:
+        (B, H, Dv, Dv) float32.
+
+    Forward runs the fused Pallas kernel (or the jnp reference on CPU /
+    small N); pallas_call has no autodiff rule, so the VJP
+    differentiates the streaming jnp twin instead (full-matrix
+    reference at small N).
+    """
+    return _dispatch(q, k, v, scale)
+
+
+def _bds_fwd(q, k, v, scale):
+    return _dispatch(q, k, v, scale), (q, k, v)
+
+
+def _bds_bwd(scale, res, g):
+    q, k, v = res
+    N = q.shape[2]
+    ref = (bilinear_dual_softmax_reference if N < 1024
+           or _pick_block(N) == 0 else bilinear_dual_softmax_streaming)
+    _, vjp = jax.vjp(lambda a, b, c: ref(a, b, c, scale), q, k, v)
+    return vjp(g)
+
+
+bilinear_dual_softmax.defvjp(_bds_fwd, _bds_bwd)

@@ -114,6 +114,115 @@ def fused_loftr_layer_reference(x, source, params, nhead: int):
     return (x.astype(jnp.float32) + y).astype(dt)
 
 
+def _window_kernel(x_ref, src_ref, wq_ref, wk_ref, wv_ref, wm_ref,
+                   ln1_ref, w0x_ref, w0m_ref, w1_ref, ln2_ref, out_ref,
+                   *, nhead: int, nb: int, s: int, c: int):
+    """Fine-window variant: nb independent length-s windows per step.
+
+    Tokens are padded s -> 32 and windows flattened onto the sublane
+    axis (N = nb * 32 rows). Per-window linear attention becomes, per
+    head, one (N, d) x (d, N) matmul masked to its window-diagonal
+    blocks; the row sums of that masked matrix ARE the linear-attention
+    normalizers (sum_s sum_d Q K = rowsum(Q K^T)), so Z comes free.
+    Padded token rows are zero on input, and K/V are masked, so padded
+    columns contribute nothing.
+    """
+    sp = 32
+    n = nb * sp
+    d = c // nhead
+    f32 = jnp.float32
+
+    def mm(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def flat(ref):
+        t = ref[...]  # (nb, s, C)
+        t = jnp.concatenate(
+            [t, jnp.zeros((nb, sp - s, c), t.dtype)], axis=1)
+        return t.reshape(n, c)
+
+    x = flat(x_ref)
+    src = flat(src_ref)
+    dt = x.dtype
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // sp
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // sp
+    blockdiag = (ri == ci).astype(f32)
+    tok = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % sp
+           < s).astype(dt)
+
+    qf = _elu1(mm(x, wq_ref[...])).astype(dt)
+    kf = (_elu1(mm(src, wk_ref[...])) * tok).astype(dt)
+    v = (mm(src, wv_ref[...]) * tok).astype(dt)
+
+    outs = []
+    for h in range(nhead):
+        lo, hi = h * d, (h + 1) * d
+        a = jax.lax.dot_general(
+            qf[:, lo:hi], kf[:, lo:hi], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32) * blockdiag           # (N, N)
+        z = 1.0 / (jnp.sum(a, axis=1, keepdims=True) + 1e-6)
+        outs.append(jax.lax.dot_general(
+            (a * z).astype(dt), v[:, lo:hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dt))           # (N, d)
+    msg = jnp.concatenate(outs, axis=1)
+
+    ln1 = ln1_ref[...]
+    m = _ln(mm(msg, wm_ref[...]), ln1[0:1, :], ln1[1:2, :]).astype(dt)
+    y = mm(x, w0x_ref[...]) + mm(m, w0m_ref[...])
+    y = jnp.maximum(y, 0.0).astype(dt)
+    ln2 = ln2_ref[...]
+    y = _ln(mm(y, w1_ref[...]), ln2[0:1, :], ln2[1:2, :])
+    out = (x.astype(f32) + y).astype(dt)
+    out_ref[...] = out.reshape(nb, sp, c)[:, :s, :]
+
+
+def fused_window_layer(x: jnp.ndarray, source: jnp.ndarray,
+                       params: dict, nhead: int) -> jnp.ndarray:
+    """One LoFTR encoder layer over many tiny windows, fused.
+
+    Args:
+        x, source: (B', S, C) with S <= 32 (the 5x5 fine windows give
+            S=25, B' = batch * max_matches).
+    Returns:
+        (B', S, C) in x.dtype.
+    """
+    Bp, S, C = x.shape
+    on_cpu = jax.devices()[0].platform == "cpu"
+    nb = 8
+    if (on_cpu or S > 32 or source.shape[1] != S or Bp % nb
+            or C % 128 or C % nhead):
+        return fused_loftr_layer_reference(x, source, params, nhead)
+
+    dt = x.dtype
+    cast = {k2: v.astype(dt) for k2, v in params.items()
+            if k2 not in ("ln1", "ln2")}
+    ln1 = params["ln1"].astype(jnp.float32)
+    ln2 = params["ln2"].astype(jnp.float32)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_window_kernel, nhead=nhead, nb=nb, s=S, c=C),
+        out_shape=jax.ShapeDtypeStruct((Bp, S, C), dt),
+        grid=(Bp // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, S, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, S, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((C, C)), full((C, C)), full((C, C)), full((C, C)),
+            full((2, C)),
+            full((C, 2 * C)), full((C, 2 * C)), full((2 * C, C)),
+            full((2, C)),
+        ],
+        out_specs=pl.BlockSpec((nb, S, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, source, cast["wq"], cast["wk"], cast["wv"], cast["wm"], ln1,
+      cast["w0x"], cast["w0m"], cast["w1"], ln2)
+
+
 def fused_loftr_layer(x: jnp.ndarray, source: jnp.ndarray,
                       params: dict, nhead: int) -> jnp.ndarray:
     """One LoFTR encoder layer, fused.
@@ -165,3 +274,38 @@ def fused_loftr_layer(x: jnp.ndarray, source: jnp.ndarray,
         ),
     )(x, source, cast["wq"], cast["wk"], cast["wv"], cast["wm"], ln1,
       cast["w0x"], cast["w0m"], cast["w1"], ln2)
+
+
+def _dispatch(x, source, params, nhead):
+    if x.shape[1] <= 32:
+        return fused_window_layer(x, source, params, nhead)
+    return fused_loftr_layer(x, source, params, nhead)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def loftr_layer_auto(x: jnp.ndarray, source: jnp.ndarray,
+                     params: dict, nhead: int) -> jnp.ndarray:
+    """Kernel-dispatched LoFTR encoder layer with a reference backward.
+
+    Forward runs the fused Pallas kernel appropriate for the shape
+    (long coarse token sets / tiny fine windows) or the jnp reference on
+    CPU. pallas_call has no autodiff rule, so the VJP differentiates the
+    jnp reference instead — gradients are the reference-path gradients,
+    which the kernels match to bf16 tolerance.
+    """
+    return _dispatch(x, source, params, nhead)
+
+
+def _auto_fwd(x, source, params, nhead):
+    return _dispatch(x, source, params, nhead), (x, source, params)
+
+
+def _auto_bwd(nhead, res, g):
+    x, source, params = res
+    _, vjp = jax.vjp(
+        lambda a, b, p: fused_loftr_layer_reference(a, b, p, nhead),
+        x, source, params)
+    return vjp(g)
+
+
+loftr_layer_auto.defvjp(_auto_fwd, _auto_bwd)
