@@ -7,9 +7,11 @@ runs the full FAR loop once, and prints the predicted [R|t].
     python -m far_tpu.cli.demo --image0 a.png --image1 b.png \
         --fx 517.97 --fy 517.97 --cx 320 --cy 240
     python -m far_tpu.cli.demo --synthetic --image_size 64x64
-    # map-free family (metric 6DReg regressor + MoE, 2-round prior loop):
+    # map-free family (metric 6DReg regressor + MoE, 2-round prior loop;
+    # per-image intrinsics like the reference's --k0/--k1):
     python -m far_tpu.cli.demo --mapfree --image0 a.jpg --image1 b.jpg \
-        --fx 1672 --fy 1672 --cx 540 --cy 960
+        --k0 1672 1672 540 960 --k1 1672 1672 540 960 \
+        --ckpt_dir /path/to/mapfree_ckpt
 """
 
 from __future__ import annotations
@@ -37,6 +39,12 @@ def parse_args(argv=None):
     p.add_argument("--cx", type=float, default=320.0)
     p.add_argument("--cy", type=float, default=240.0)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--k0", type=float, nargs=4, default=None,
+                   metavar=("FX", "FY", "CX", "CY"),
+                   help="intrinsics of image0 (defaults to --fx/--fy/...)")
+    p.add_argument("--k1", type=float, nargs=4, default=None,
+                   metavar=("FX", "FY", "CX", "CY"),
+                   help="intrinsics of image1 (defaults to --k0)")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--mapfree", action="store_true",
                    help="use the map-free 6DReg pipeline (metric t)")
@@ -50,12 +58,6 @@ def run_mapfree(args, img0, img1, K, gt):
     """Map-free demo path (reference mapfree_6dreg/demo.py:51-126)."""
     import jax
     import jax.numpy as jnp
-
-    if args.ckpt_dir:
-        raise SystemExit(
-            "--ckpt_dir is not supported with --mapfree yet (the map-free "
-            "checkpoint holds two models: matcher + 6DReg regressor); "
-            "use far_tpu.cli.submission --ckpt_dir for that flow.")
 
     from far_tpu.models.sixdreg import MapfreeRegression, SixDRegConfig
     from far_tpu.pipeline import init_model, mapfree_forward
@@ -75,11 +77,22 @@ def run_mapfree(args, img0, img1, K, gt):
                       jnp.tile(jnp.eye(3, 4)[None], (1, 1, 1)),
                       jnp.ones((1, 3)))
 
+    if args.ckpt_dir:
+        # same two-tree layout the submission CLI writes/reads
+        from far_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        state = mgr.restore(jax.device_get(
+            {"matcher": m_vars, "regressor": r_vars}))
+        m_vars, r_vars = state["matcher"], state["regressor"]
+        mgr.close()
+
+    K0, K1 = K
     gray0 = img0 if img0.shape[-1] == 1 else img0.mean(-1, keepdims=True)
     gray1 = img1 if img1.shape[-1] == 1 else img1.mean(-1, keepdims=True)
     batch = PairBatch(
         image0=jnp.asarray(gray0)[None], image1=jnp.asarray(gray1)[None],
-        K0=jnp.asarray(K)[None], K1=jnp.asarray(K)[None])
+        K0=jnp.asarray(K0)[None], K1=jnp.asarray(K1)[None])
     i0r = jax.image.resize(jnp.asarray(img0)[None], (1, rh, rw, 3),
                            "bilinear") if img0.shape[-1] == 3 else \
         jnp.tile(jax.image.resize(jnp.asarray(gray0)[None],
@@ -116,19 +129,26 @@ def main(argv=None):
 
         s = SyntheticPairDataset(n=1, hw=(H, W))[0]
         img0, img1 = s["image0"], s["image1"]
-        K = s["K0"]
+        K0 = K1 = s["K0"]
         gt = s["T_0to1"]
     else:
         from far_tpu.data.io import read_gray
 
         img0 = read_gray(args.image0, (W, H))
         img1 = read_gray(args.image1, (W, H))
-        K = np.array([[args.fx, 0, args.cx], [0, args.fy, args.cy],
-                      [0, 0, 1]], np.float32)
+
+        def mk_k(four):
+            fx, fy, cx, cy = four
+            return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                            np.float32)
+
+        K0 = mk_k(args.k0 if args.k0 else
+                  (args.fx, args.fy, args.cx, args.cy))
+        K1 = mk_k(args.k1) if args.k1 else K0
         gt = None
 
     if args.mapfree:
-        return run_mapfree(args, img0, img1, K, gt)
+        return run_mapfree(args, img0, img1, (K0, K1), gt)
 
     model, variables = init_model(cfg, seed=0, batch_size=1)
     if args.ckpt_dir:
@@ -144,7 +164,7 @@ def main(argv=None):
 
     batch = PairBatch(
         image0=jnp.asarray(img0)[None], image1=jnp.asarray(img1)[None],
-        K0=jnp.asarray(K)[None], K1=jnp.asarray(K)[None],
+        K0=jnp.asarray(K0)[None], K1=jnp.asarray(K1)[None],
     )
     out = jax.jit(lambda v, b, k: far_forward(model, v, b, k))(
         variables, batch, jax.random.PRNGKey(0))

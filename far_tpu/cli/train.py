@@ -50,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--scheduler", default="none")
     p.add_argument("--sampler", default="scene_balance",
                    choices=["scene_balance", "random", "sequential"])
+    p.add_argument("--subepochs", type=int, default=0,
+                   help="split the index list into N shards and cycle "
+                        "N-1 train shards + 1 val shard per epoch (the "
+                        "8ptVit reference's subepoch scheme, N=11; "
+                        "0 = plain per-epoch pass)")
     p.add_argument("--n_samples_per_scene", type=int, default=200)
     p.add_argument("--ckpt_dir", default="/tmp/far_tpu_ckpt")
     p.add_argument("--ckpt_every", type=int, default=1000)
@@ -115,8 +120,16 @@ def _resolve_family(args):
     return family, cfg, optim
 
 
+def _subepoch_indices(indices, subepochs, sub):
+    """Shard `sub` of the reference's subepoch split: the index list is
+    cut into `subepochs` equal shards; 0..subepochs-2 are train shards,
+    the last is the val shard (streetlearn.py:69-71, train.py:227-247)."""
+    n = len(indices) // subepochs
+    return indices[sub * n: (sub + 1) * n]
+
+
 def _build_trainer_and_loaderfn(args, family, cfg, optim):
-    """Returns (trainer, make_loader(indices) -> iterable of batches)."""
+    """Returns (trainer, make_loader(sub=None) -> iterable of batches)."""
     dataset = build_dataset(args)
 
     if args.sampler == "scene_balance" and hasattr(dataset, "scene_lengths"):
@@ -130,7 +143,11 @@ def _build_trainer_and_loaderfn(args, family, cfg, optim):
     if family == "far":
         trainer = Trainer(cfg, optim)
         state = trainer.init(seed=args.seed, batch_size=args.batch_size)
-        make_loader = lambda: Loader(dataset, indices, args.batch_size)
+        make_loader = lambda sub=None: Loader(
+            dataset,
+            indices if sub is None else _subepoch_indices(
+                indices, args.subepochs, sub),
+            args.batch_size)
         return trainer, state, make_loader
 
     if family == "vitess":
@@ -151,8 +168,11 @@ def _build_trainer_and_loaderfn(args, family, cfg, optim):
         hw = np.asarray(probe["image0"]).shape[:2]
         state = trainer.init(seed=args.seed, batch_size=args.batch_size,
                              image_hw=hw)
-        make_loader = lambda: Loader(dataset, indices, args.batch_size,
-                                     collate=collate_vitess)
+        make_loader = lambda sub=None: Loader(
+            dataset,
+            indices if sub is None else _subepoch_indices(
+                indices, args.subepochs, sub),
+            args.batch_size, collate=collate_vitess)
         return trainer, state, make_loader
 
     # sixdreg: wrap the base dataset with a correspondence source
@@ -182,8 +202,11 @@ def _build_trainer_and_loaderfn(args, family, cfg, optim):
     hw = np.asarray(probe["image0"]).shape[:2]
     state = trainer.init(seed=args.seed, batch_size=args.batch_size,
                          image_hw=hw)
-    make_loader = lambda: Loader(dataset, indices, args.batch_size,
-                                 collate=collate_sixdreg)
+    make_loader = lambda sub=None: Loader(
+        dataset,
+        indices if sub is None else _subepoch_indices(
+            indices, args.subepochs, sub),
+        args.batch_size, collate=collate_sixdreg)
     return trainer, state, make_loader
 
 
@@ -226,8 +249,12 @@ def main(argv=None):
     step = int(state.step)
     t0 = time.time()
     metrics = {"loss": np.nan}
+    subepoch = 0
     while step < args.steps:
-        loader = make_loader()
+        if args.subepochs > 1:
+            loader = make_loader(subepoch % (args.subepochs - 1))
+        else:
+            loader = make_loader()
         for batch in loader:
             if step >= args.steps:
                 break
@@ -262,6 +289,22 @@ def main(argv=None):
                     best_mgr.save(step, jax.device_get(state))
             if step % args.ckpt_every == 0 or step == args.steps:
                 mgr.save(step, jax.device_get(state))
+        if args.subepochs > 1:
+            subepoch += 1
+            if (subepoch % (args.subepochs - 1) == 0
+                    and hasattr(trainer, "eval_step") and step < args.steps):
+                # reference: subepoch 10 is a full val-shard pass
+                # (train.py:229-235); log the shard-mean loss metrics
+                sums, count = {}, 0
+                for vbatch in make_loader(args.subepochs - 1):
+                    key, vk = jax.random.split(key)
+                    vm = trainer.eval_step(state, vbatch, vk)
+                    for k, v in vm.items():
+                        sums[k] = sums.get(k, 0.0) + float(np.asarray(v))
+                    count += 1
+                if count:
+                    logger.log(step, {f"val/{k}": v / count
+                                      for k, v in sums.items()})
     logger.close()
     mgr.close()
     if best_mgr is not None:

@@ -150,6 +150,23 @@ class _SpmdTrainer:
         return self._step(state, jax.device_put(batch, self.data_sharding),
                           key)
 
+    def eval_step(self, state, batch, key):
+        """Loss metrics without a parameter update (subepoch val shard,
+        reference train.py:229-235 is_training=False pass)."""
+        if not hasattr(self, "_eval"):
+            def _eval(state, batch, key):
+                _, aux = self._loss(state.params, state.batch_stats,
+                                    batch, key)
+                return aux["metrics"]
+
+            self._eval = jax.jit(
+                _eval,
+                in_shardings=(self.repl, self.data_sharding, self.repl),
+                out_shardings=self.repl,
+            )
+        return self._eval(state, jax.device_put(batch, self.data_sharding),
+                          key)
+
 
 # --------------------------------------------------------------------- #
 # ViTEss

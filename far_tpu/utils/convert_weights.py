@@ -469,14 +469,19 @@ def _apply_mapping(
     used = set()
     for entries, tree in ((P, params), (S, stats)):
         for torch_key, path, tf in entries:
-            if torch_key not in sd:
-                missing.append(torch_key)
+            # a tuple source pulls several torch tensors into one leaf
+            # (e.g. folding an eval-mode BatchNorm into a conv)
+            keys = torch_key if isinstance(torch_key, tuple) else (torch_key,)
+            if any(k not in sd for k in keys):
+                missing.extend(k for k in keys if k not in sd)
                 continue
-            if _set_path(tree, path, tf(sd[torch_key])):
-                converted.append(torch_key)
-                used.add(torch_key)
+            vals = [sd[k] for k in keys]
+            value = tf(*vals) if isinstance(torch_key, tuple) else tf(vals[0])
+            if _set_path(tree, path, value):
+                converted.extend(keys)
+                used.update(keys)
             else:
-                missing.append(torch_key)
+                missing.extend(keys)
     unused = [k for k in sd
               if k not in used and "num_batches_tracked" not in k
               and not unused_ok(k)]
@@ -548,3 +553,124 @@ def convert_sixdreg_state_dict(
             or k in ("s_r", "s_t")
         ),
     )
+
+# --------------------------------------------------------------------- #
+# SuperPoint / SuperGlue (magicleap/SuperGluePretrainedNetwork weights)
+# --------------------------------------------------------------------- #
+
+def _conv1d_linear(v):
+    """torch Conv1d (O, I, 1) kernel -> flax Dense kernel (I, O)."""
+    return np.transpose(_np(v)[:, :, 0], (1, 0))
+
+
+def _fold_bn_conv1d(eps: float = 1e-5):
+    """Fold an eval-mode BatchNorm1d into the preceding Conv1d.
+
+    Our SuperGlue stand-in uses plain Dense layers where magicleap's MLP
+    interleaves Conv1d + BatchNorm1d; at inference BN is the affine map
+    y = (x - mean) * gamma / sqrt(var + eps) + beta, so it folds exactly
+    into the conv's kernel/bias. (Conversion is therefore inference-
+    exact; fine-tuning from converted weights has no BN statistics.)
+    """
+
+    def kernel_tf(conv_w, bn_w, bn_rv):
+        scale = _np(bn_w) / np.sqrt(_np(bn_rv) + eps)       # (O,)
+        return np.transpose(_np(conv_w)[:, :, 0] * scale[:, None], (1, 0))
+
+    def bias_tf(conv_b, bn_w, bn_b, bn_rm, bn_rv):
+        scale = _np(bn_w) / np.sqrt(_np(bn_rv) + eps)
+        return (_np(conv_b) - _np(bn_rm)) * scale + _np(bn_b)
+
+    return kernel_tf, bias_tf
+
+
+def build_superpoint_mapping(cfg) -> Tuple[list, list]:
+    """Mapping for SuperPointTPU from magicleap superpoint_v1.pth
+    (SuperGluePretrainedNetwork/models/superpoint.py:110-133). All plain
+    convs, no normalization layers."""
+    names = ["conv1a", "conv1b", "conv2a", "conv2b",
+             "conv3a", "conv3b", "conv4a", "conv4b"]
+    P = []
+    for i, src in enumerate(names):
+        P.append((f"{src}.weight", (f"conv{i}", "kernel"), _conv))
+        P.append((f"{src}.bias", (f"conv{i}", "bias"), _ident))
+    for src, dst in (("convPa", "det_a"), ("convPb", "det_b"),
+                     ("convDa", "desc_a"), ("convDb", "desc_b")):
+        P.append((f"{src}.weight", (dst, "kernel"), _conv))
+        P.append((f"{src}.bias", (dst, "bias"), _ident))
+    return P, []
+
+
+def build_superglue_mapping(cfg) -> Tuple[list, list]:
+    """Mapping for SuperGlueTPU from magicleap superglue_{indoor,outdoor}
+    checkpoints (SuperGluePretrainedNetwork/models/superglue.py).
+
+    magicleap's MLPs are Conv1d stacks with BatchNorm1d between layers;
+    BN is folded into the Dense weights (see _fold_bn_conv1d). The
+    reference shares one final_proj for both images — it fills both of
+    our final_proj / final_proj2."""
+    kernel_tf, bias_tf = _fold_bn_conv1d()
+    P = []
+
+    # keypoint encoder: MLP([3, 32, 64, 128, 256, D]) -> kenc_0..kenc_4
+    # module indices: conv at 3i, BN at 3i+1 for the first four layers,
+    # bare conv at index 12 for the last
+    for i in range(4):
+        c, b = f"kenc.encoder.{3 * i}", f"kenc.encoder.{3 * i + 1}"
+        P.append(((f"{c}.weight", f"{b}.weight", f"{b}.running_var"),
+                  (f"kenc_{i}", "kernel"), kernel_tf))
+        P.append(((f"{c}.bias", f"{b}.weight", f"{b}.bias",
+                   f"{b}.running_mean", f"{b}.running_var"),
+                  (f"kenc_{i}", "bias"), bias_tf))
+    P.append(("kenc.encoder.12.weight", ("kenc_4", "kernel"),
+              _conv1d_linear))
+    P.append(("kenc.encoder.12.bias", ("kenc_4", "bias"), _ident))
+
+    # GNN: gnn.layers.{2i} = self_i, gnn.layers.{2i+1} = cross_i
+    n_layers = cfg.num_layers
+    for i in range(2 * n_layers):
+        src = f"gnn.layers.{i}"
+        dst = f"self_{i // 2}" if i % 2 == 0 else f"cross_{i // 2}"
+        for j, name in enumerate(("q", "k", "v")):
+            P.append((f"{src}.attn.proj.{j}.weight",
+                      (dst, "attn", name, "kernel"), _conv1d_linear))
+            P.append((f"{src}.attn.proj.{j}.bias",
+                      (dst, "attn", name, "bias"), _ident))
+        P.append((f"{src}.attn.merge.weight",
+                  (dst, "attn", "merge", "kernel"), _conv1d_linear))
+        P.append((f"{src}.attn.merge.bias",
+                  (dst, "attn", "merge", "bias"), _ident))
+        # mlp = MLP([2D, 2D, D]): Conv1d at 0, BN at 1, Conv1d at 3
+        c, b = f"{src}.mlp.0", f"{src}.mlp.1"
+        P.append(((f"{c}.weight", f"{b}.weight", f"{b}.running_var"),
+                  (dst, "fc1", "kernel"), kernel_tf))
+        P.append(((f"{c}.bias", f"{b}.weight", f"{b}.bias",
+                   f"{b}.running_mean", f"{b}.running_var"),
+                  (dst, "fc1", "bias"), bias_tf))
+        P.append((f"{src}.mlp.3.weight", (dst, "fc2", "kernel"),
+                  _conv1d_linear))
+        P.append((f"{src}.mlp.3.bias", (dst, "fc2", "bias"), _ident))
+
+    for dst in ("final_proj", "final_proj2"):  # shared in the reference
+        P.append(("final_proj.weight", (dst, "kernel"), _conv1d_linear))
+        P.append(("final_proj.bias", (dst, "bias"), _ident))
+    P.append(("bin_score", ("bin_score",), _ident))
+    return P, []
+
+
+def convert_superpoint_state_dict(state_dict, variables, cfg,
+                                  strip_prefix: str = ""):
+    """Fill a SuperPointTPU variables pytree from magicleap
+    superpoint_v1.pth."""
+    P, S = build_superpoint_mapping(cfg)
+    return _apply_mapping(state_dict, variables, P, S,
+                          strip_prefix=strip_prefix)
+
+
+def convert_superglue_state_dict(state_dict, variables, cfg,
+                                 strip_prefix: str = ""):
+    """Fill a SuperGlueTPU variables pytree from magicleap
+    superglue_{indoor,outdoor}.pth (BN folded; inference-exact)."""
+    P, S = build_superglue_mapping(cfg)
+    return _apply_mapping(state_dict, variables, P, S,
+                          strip_prefix=strip_prefix)

@@ -362,3 +362,127 @@ class TestTorchNumericParity:
         w = _perm_linear(C, n_blocks=2)(lin.weight)
         feats = x.transpose(0, 1, 3, 4, 2).reshape(2, -1)  # img-major HWC
         np.testing.assert_allclose(feats @ w, y_t, atol=1e-5)
+
+
+class TestSuperPointGlueConverter:
+    def _sg_fake_sd(self, cfg, rng):
+        D = cfg.desc_dim
+        widths = [3, 32, 64, 128, 256, D]
+        sd = {}
+
+        def conv1d(name, cout, cin):
+            sd[f"{name}.weight"] = rng.normal(
+                size=(cout, cin, 1)).astype(np.float32) / np.sqrt(cin)
+            sd[f"{name}.bias"] = rng.normal(size=(cout,)).astype(np.float32)
+
+        def bn(name, c):
+            sd[f"{name}.weight"] = np.abs(
+                rng.normal(size=(c,))).astype(np.float32) + 0.5
+            sd[f"{name}.bias"] = rng.normal(size=(c,)).astype(np.float32)
+            sd[f"{name}.running_mean"] = rng.normal(
+                size=(c,)).astype(np.float32)
+            sd[f"{name}.running_var"] = np.abs(
+                rng.normal(size=(c,))).astype(np.float32) + 0.5
+
+        for i in range(4):
+            conv1d(f"kenc.encoder.{3 * i}", widths[i + 1], widths[i])
+            bn(f"kenc.encoder.{3 * i + 1}", widths[i + 1])
+        conv1d("kenc.encoder.12", D, 256)
+        for i in range(2 * cfg.num_layers):
+            src = f"gnn.layers.{i}"
+            for j in range(3):
+                conv1d(f"{src}.attn.proj.{j}", D, D)
+            conv1d(f"{src}.attn.merge", D, D)
+            conv1d(f"{src}.mlp.0", 2 * D, 2 * D)
+            bn(f"{src}.mlp.1", 2 * D)
+            conv1d(f"{src}.mlp.3", D, 2 * D)
+        conv1d("final_proj", D, D)
+        sd["bin_score"] = np.asarray(1.0, np.float32)
+        return sd
+
+    def test_superpoint_round_trip(self, rng):
+        import jax.numpy as jnp
+
+        from far_tpu.models.superpoint import (
+            SuperPointConfig,
+            SuperPointTPU,
+        )
+        from far_tpu.utils.convert_weights import (
+            build_superpoint_mapping,
+            convert_superpoint_state_dict,
+        )
+
+        cfg = SuperPointConfig(max_keypoints=16)
+        model = SuperPointTPU(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 1)))
+        P, S = build_superpoint_mapping(cfg)
+        sd = fake_sd_from_mapping(P, S, variables, rng)
+        out, report = convert_superpoint_state_dict(sd, variables, cfg)
+        assert not report["missing"], report["missing"][:5]
+        assert not report["unused"], report["unused"][:5]
+        k, s, v, d = model.apply(
+            jax.tree.map(jnp.asarray, out), jnp.ones((1, 32, 32, 1)) * 0.5)
+        assert np.isfinite(np.asarray(d)).all()
+
+    def test_superglue_round_trip_and_bn_fold(self, rng):
+        import jax.numpy as jnp
+
+        from far_tpu.models.superglue import SuperGlueConfig, SuperGlueTPU
+        from far_tpu.utils.convert_weights import (
+            convert_superglue_state_dict,
+        )
+
+        cfg = SuperGlueConfig(desc_dim=64, num_layers=2,
+                              sinkhorn_iterations=5)
+        model = SuperGlueTPU(cfg)
+        K = 8
+        args = (jnp.zeros((1, K, 2)), jnp.zeros((1, K)),
+                jnp.ones((1, K), bool), jnp.zeros((1, K, cfg.desc_dim)))
+        variables = model.init(jax.random.PRNGKey(0), *args, *args,
+                               image_hw=(32, 32))
+        sd = self._sg_fake_sd(cfg, rng)
+        out, report = convert_superglue_state_dict(sd, variables, cfg)
+        assert not report["missing"], report["missing"][:5]
+        assert not report["unused"], report["unused"][:5]
+
+        # numeric BN-fold check: torch Conv1d+BN (eval) == folded Dense
+        torch = pytest.importorskip("torch")
+        conv = torch.nn.Conv1d(3, 32, 1)
+        bnm = torch.nn.BatchNorm1d(32)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(sd["kenc.encoder.0.weight"]))
+            conv.bias.copy_(torch.from_numpy(sd["kenc.encoder.0.bias"]))
+            bnm.weight.copy_(torch.from_numpy(sd["kenc.encoder.1.weight"]))
+            bnm.bias.copy_(torch.from_numpy(sd["kenc.encoder.1.bias"]))
+            bnm.running_mean.copy_(
+                torch.from_numpy(sd["kenc.encoder.1.running_mean"]))
+            bnm.running_var.copy_(
+                torch.from_numpy(sd["kenc.encoder.1.running_var"]))
+        bnm.eval()
+        x = rng.normal(size=(1, 3, 7)).astype(np.float32)
+        with torch.no_grad():
+            ref = bnm(conv(torch.from_numpy(x))).numpy()[0].T  # (7, 32)
+        kern = np.asarray(out["params"]["kenc_0"]["kernel"])
+        bias = np.asarray(out["params"]["kenc_0"]["bias"])
+        ours = x[0].T @ kern + bias
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+        # shared final_proj fills both heads
+        np.testing.assert_allclose(
+            np.asarray(out["params"]["final_proj"]["kernel"]),
+            np.asarray(out["params"]["final_proj2"]["kernel"]))
+
+        # the converted tree runs
+        m0, conf = model.apply(
+            jax.tree.map(jnp.asarray, out),
+            jnp.asarray(rng.normal(size=(1, K, 2)), jnp.float32) * 4 + 16,
+            jnp.ones((1, K)) * 0.5, jnp.ones((1, K), bool),
+            jnp.asarray(rng.normal(size=(1, K, cfg.desc_dim)),
+                        jnp.float32),
+            jnp.asarray(rng.normal(size=(1, K, 2)), jnp.float32) * 4 + 16,
+            jnp.ones((1, K)) * 0.5, jnp.ones((1, K), bool),
+            jnp.asarray(rng.normal(size=(1, K, cfg.desc_dim)),
+                        jnp.float32),
+            image_hw=(32, 32))
+        assert m0.shape == (1, K)
