@@ -89,11 +89,13 @@ class LoFTREncoderLayer(nn.Module):
         w1 = _Kernel((2 * C, C), name="mlp_1")()
         ln2 = _LNParams(C, name="norm2")()
 
-        # The fused kernel wins only on the long coarse token sets; for
+        # The fused kernel wins only on the long coarse token sets. For
         # the tiny fine windows the XLA tiny-window VPU path (see
-        # attention.py) beats a window-batched kernel (the per-window
-        # block-diagonal matmuls waste nb x FLOPs — measured 37 ms vs
-        # 27 ms for the fine stage), so the small-L case stays here.
+        # attention.py) beats both window-kernel designs tried: w-major
+        # block-diagonal attention (37 ms vs 27 ms for the fine stage —
+        # nb x wasted MXU FLOPs) and the s-major per-source-token loop
+        # (38 ms + pathological Mosaic compile time; see
+        # ops/loftr_layer.py:fused_window_layer). Small L stays here.
         if (self.attention == "linear" and x_mask is None
                 and source_mask is None and x.shape == source.shape
                 and L >= 1024 and L % 8 == 0 and C % 128 == 0):
