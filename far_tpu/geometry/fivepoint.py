@@ -331,7 +331,7 @@ def durand_kerner_roots(coeffs: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
 # ---------------------------------------------------------------------- #
 
 def _solve_from_basis(
-    Ebasis: jnp.ndarray, real_tol: float
+    Ebasis: jnp.ndarray, real_tol: float, det_tol: float = 2.5e-2
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Up to 10 essential candidates from a nullspace basis (..., 4, 3, 3)."""
     dtype = Ebasis.dtype
@@ -382,7 +382,7 @@ def _solve_from_basis(
         is_real
         & finite_xy
         & (jnp.abs(z) < 1e3) & (jnp.abs(x) < 1e3) & (jnp.abs(y) < 1e3)
-        & (jnp.abs(det_e) < 2.5e-2)
+        & (jnp.abs(det_e) < det_tol)
         & jnp.all(jnp.isfinite(E), axis=(-1, -2))
     )
     # keep the masked-out slots finite so downstream arithmetic (epipolar
@@ -397,6 +397,7 @@ def run_5point_essential(
     points2: jnp.ndarray,
     real_tol: float = 5e-2,
     n_basis_rotations: int = 2,
+    det_tol: float = 2.5e-2,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nister 5-point solve on K-normalized correspondences.
 
@@ -404,6 +405,9 @@ def run_5point_essential(
         points1/points2: (..., 5, 2) normalized camera coordinates, with
             the epipolar convention p2^T E p1 = 0.
         real_tol: relative imaginary-part tolerance for accepting a root.
+        det_tol: |det E| acceptance threshold on sqrt(2)-normalized
+            candidates; loosen per-dataset for high-noise/ill-conditioned
+            scenes where a true root's residual det exceeds the default.
         n_basis_rotations: elimination passes under fixed basis re-mixes
             (candidates are pooled; see _basis_rotations).
     Returns:
@@ -424,7 +428,7 @@ def run_5point_essential(
     rots = jnp.asarray(_basis_rotations(n_basis_rotations), A.dtype)
     # (..., R, 4, 3, 3): rotation dim rides as an extra batch axis
     Eb_r = jnp.einsum("rkm,...mij->...rkij", rots, Ebasis)
-    E, valid = _solve_from_basis(Eb_r, real_tol)             # (..., R, 10, ...)
+    E, valid = _solve_from_basis(Eb_r, real_tol, det_tol)    # (..., R, 10, ...)
     E = E.reshape(*E.shape[:-4], n_basis_rotations * 10, 3, 3)
     valid = valid.reshape(*valid.shape[:-2], n_basis_rotations * 10)
     return E, valid

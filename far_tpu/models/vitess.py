@@ -224,7 +224,14 @@ class ViTEss(nn.Module):
 
         x = (images - _IMAGENET_MEAN) / _IMAGENET_STD
         x = x.reshape(B * 2, *images.shape[2:])
-        x = jax.image.resize(x, (B * 2, 224, 224, 3), "bilinear")
+        # torch-convention nearest resize to 224 (reference model.py:144
+        # F.interpolate(size=224), default mode='nearest': src index =
+        # floor(dst * in/out)) — a gather, checkpoint-parity exact
+        H_in, W_in = x.shape[1], x.shape[2]
+        if (H_in, W_in) != (224, 224):
+            iy = jnp.floor(jnp.arange(224) * (H_in / 224)).astype(jnp.int32)
+            ix = jnp.floor(jnp.arange(224) * (W_in / 224)).astype(jnp.int32)
+            x = x[:, iy][:, :, ix]
         x = x.astype(dt)
 
         x = ResNet18Trunk(dtype=dt, name="resnet")(x, train)       # 28x28x128

@@ -215,8 +215,14 @@ def _bds_fwd(q, k, v, scale):
 def _bds_bwd(scale, res, g):
     q, k, v = res
     N = q.shape[2]
-    ref = (bilinear_dual_softmax_reference if N < 1024
-           or _pick_block(N) == 0 else bilinear_dual_softmax_streaming)
+    block = _pick_block(N)
+    if N < 1024 or block == 0:
+        ref = bilinear_dual_softmax_reference
+    else:
+        # The streaming twin reshapes N into (N // block, block); it must
+        # use the same block the dispatcher would pick for this N, not the
+        # default 512 (N=4800 picks 480 — 512 would fail the reshape).
+        ref = functools.partial(bilinear_dual_softmax_streaming, block=block)
     _, vjp = jax.vjp(lambda a, b, c: ref(a, b, c, scale), q, k, v)
     return vjp(g)
 

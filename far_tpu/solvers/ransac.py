@@ -63,6 +63,8 @@ class RansacConfig:
     use_biased_sampling: bool = True
     distance_thresh: float = 1e9
     error_fn: str = "sampson"    # or "symmetric"
+    fivept_det_tol: float = 2.5e-2  # |det E| candidate filter of the 5pt
+                                 # solver; loosen for high-noise datasets
     min_valid: int = 8           # below this the solve is flagged failed
     linalg: str = "fast"         # 'fast' (SVD-free power-iteration paths,
                                  # the TPU production setting) or 'exact'
@@ -189,7 +191,8 @@ def prior_ransac(
     kp2_s = take(kp2)
     if cfg.minimal_solver == "5pt":
         E5, valid5 = run_5point_essential(
-            kp1_s, kp2_s, n_basis_rotations=_FIVEPT_ROTATIONS
+            kp1_s, kp2_s, n_basis_rotations=_FIVEPT_ROTATIONS,
+            det_tol=cfg.fivept_det_tol,
         )  # (B, n_samples, n_cand, 3, 3)
         E = E5.reshape(B, n_samples * n_cand, 3, 3)
         finite = valid5.reshape(B, n_samples * n_cand) \

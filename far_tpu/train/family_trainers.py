@@ -152,11 +152,13 @@ class _SpmdTrainer:
 
     def eval_step(self, state, batch, key):
         """Loss metrics without a parameter update (subepoch val shard,
-        reference train.py:229-235 is_training=False pass)."""
+        reference train.py:229-235 is_training=False pass). Applies the
+        model with train=False (running BN stats, no mutation), matching
+        the reference's eval-mode semantics."""
         if not hasattr(self, "_eval"):
             def _eval(state, batch, key):
                 _, aux = self._loss(state.params, state.batch_stats,
-                                    batch, key)
+                                    batch, key, train=False)
                 return aux["metrics"]
 
             self._eval = jax.jit(
@@ -201,12 +203,21 @@ class ViTEssTrainer(_SpmdTrainer):
         variables = init_fn(jax.random.PRNGKey(seed))
         return self._make_state(variables)
 
-    def _loss(self, params, batch_stats, batch: ViTEssBatch, key):
+    def _loss(self, params, batch_stats, batch: ViTEssBatch, key,
+              train: bool = True):
         variables = {"params": params, "batch_stats": batch_stats}
-        (tran, R, pred_9d, gate), new_state = self.model.apply(
-            variables, batch.images, batch.solver_rt, batch.solver_num_corr,
-            train=True, mutable=["batch_stats"],
-        )
+        if train:
+            (tran, R, pred_9d, gate), new_state = self.model.apply(
+                variables, batch.images, batch.solver_rt,
+                batch.solver_num_corr, train=True, mutable=["batch_stats"],
+            )
+            new_batch_stats = new_state["batch_stats"]
+        else:
+            tran, R, pred_9d, gate = self.model.apply(
+                variables, batch.images, batch.solver_rt,
+                batch.solver_num_corr, train=False,
+            )
+            new_batch_stats = batch_stats
         gt_t = batch.T_0to1[..., :3, 3]
         gt_r6 = matrix_to_rotation_6d(batch.T_0to1[..., :3, :3])
         if self.cfg.use_normalized_6d:
@@ -218,7 +229,7 @@ class ViTEssTrainer(_SpmdTrainer):
         loss_rot = jnp.mean((pred_9d[..., 3:] - gt_r6) ** 2)
         loss = self.w_tr * loss_tr + self.w_rot * loss_rot
         aux = {
-            "batch_stats": new_state["batch_stats"],
+            "batch_stats": new_batch_stats,
             "metrics": {"loss": loss, "loss_tr": loss_tr,
                         "loss_rot": loss_rot},
         }
@@ -265,7 +276,8 @@ class SixDRegTrainer(_SpmdTrainer):
         variables = {**variables, "params": params}
         return self._make_state(variables)
 
-    def _loss(self, params, batch_stats, batch: MapfreeBatch, key):
+    def _loss(self, params, batch_stats, batch: MapfreeBatch, key,
+              train: bool = True):
         model_params = {k: v for k, v in params.items()
                         if k not in ("s_r", "s_t")}
         variables = {"params": model_params, "batch_stats": batch_stats}
@@ -281,10 +293,18 @@ class SixDRegTrainer(_SpmdTrainer):
         rt = jax.lax.stop_gradient(
             jnp.concatenate([est.R, est.t[..., None]], -1))
 
-        (R, t, pred_9d, gate), new_state = self.model.apply(
-            variables, batch.image0, batch.image1, rt, counts,
-            train=True, mutable=["batch_stats"],
-        )
+        if train:
+            (R, t, pred_9d, gate), new_state = self.model.apply(
+                variables, batch.image0, batch.image1, rt, counts,
+                train=True, mutable=["batch_stats"],
+            )
+            new_batch_stats = new_state["batch_stats"]
+        else:
+            R, t, pred_9d, gate = self.model.apply(
+                variables, batch.image0, batch.image1, rt, counts,
+                train=False,
+            )
+            new_batch_stats = batch_stats
         total, parts = combined_loss(
             R, t, batch.T_0to1[..., :3, :3], batch.T_0to1[..., :3, 3],
             rot_loss=self.rot_loss, trans_loss=self.trans_loss,
@@ -292,7 +312,7 @@ class SixDRegTrainer(_SpmdTrainer):
             s_r=params.get("s_r"), s_t=params.get("s_t"),
         )
         aux = {
-            "batch_stats": new_state["batch_stats"],
+            "batch_stats": new_batch_stats,
             "metrics": {"loss": total,
                         "loss_rot": parts["rot_loss"],
                         "loss_tr": parts["trans_loss"],

@@ -187,6 +187,11 @@ def build_loftr_mapping(cfg) -> Tuple[list, list]:
     if cfg.regress_rt:
         r = ("regressor",)
         src = "loftr_regress"
+        if cfg.regress.use_pos_embedding:
+            # CrossBlock pos_embed (reference transformer.py:305-349,
+            # live in the production FAR config via --use_pos_embedding)
+            P.append((f"{src}.emm.pos_embed",
+                      r + ("emm", "pos_embed"), _ident))
         P += _lin_entries(f"{src}.emm.cross_attn.qkv",
                           r + ("emm", "cross_attn", "qkv"))
         P += _lin_entries(f"{src}.emm.cross_attn.proj_fundamental",

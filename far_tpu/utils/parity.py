@@ -46,11 +46,13 @@ import numpy as np
 
 class Tap:
     def __init__(self, name: str, torch_module: str,
-                 flax_path: Tuple[str, ...], layout: str = "ident",
+                 flax_path: Optional[Tuple[str, ...]], layout: str = "ident",
                  call: int = 0, elem: Optional[int] = None):
         self.name = name
         self.torch_module = torch_module
-        self.flax_path = flax_path
+        self.flax_path = flax_path  # None -> read from the replay's
+                                    # returned dict by tap name instead
+                                    # of the captured intermediates
         self.layout = layout
         self.call = call      # which invocation of the module (0-based)
         self.elem = elem      # tuple element of the output, if any
@@ -62,6 +64,9 @@ VITESS_TAPS: List[Tap] = [
         ("extractor_final_conv",), layout="nchw"),
     Tap("features", "fusion_transformer.norm", ("norm",),
         layout="reshape"),   # torch (B*2, Dv, C) vs ours (B, 2*Dv, C)
+    Tap("pred_t", "(output) tran_preds_unnorm", None),
+    Tap("pred_rmtx", "(output) rot_preds_mtx", None),
+    Tap("pred_r6", "(output) rot_preds_6d", None),
 ]
 
 SIXDREG_TAPS: List[Tap] = [
@@ -69,6 +74,23 @@ SIXDREG_TAPS: List[Tap] = [
     Tap("vol1", "encoder", ("encoder",), layout="nchw", call=1),
     Tap("gvol", "aggregator", ("aggregator",), layout="nchw"),
     Tap("feats", "head", ("head",), layout="nchw", elem=1),
+    Tap("pred_r6", "(output) regression_mlp R", None),
+    Tap("pred_t", "(output) regression_mlp t", None),
+]
+
+# FARLoFTR taps come from the replay's returned dict (the reference
+# routes activations through a mutable data dict, not module outputs;
+# the recorder mirrors that by saving data-dict entries directly).
+FARLOFTR_TAPS: List[Tap] = [
+    Tap("feats_c", "(data) feats_c", None, layout="nchw"),
+    Tap("feat_f0", "(data) featmap_f0", None, layout="nchw"),
+    Tap("feat_c0", "(data) featmap0 post-coarse", None),
+    Tap("feat_c1", "(data) featmap1 post-coarse", None),
+    Tap("conf_matrix", "(data) conf_matrix", None, layout="reshape"),
+    Tap("expec_f", "(data) expec_f", None, layout="reshape"),
+    Tap("mkpts1_f", "(data) mkpts1_f", None, layout="reshape"),
+    Tap("pred_rt", "(data) regressed_rt", None),
+    Tap("gate", "(data) gating weights", None),
 ]
 
 
@@ -181,7 +203,9 @@ def _replay_vitess(cfg, variables, inputs):
         None if sp is None else jnp.asarray(sp),
         None if nc is None else jnp.asarray(nc),
         train=False, capture_intermediates=True, mutable=["intermediates"])
-    return out, state["intermediates"]
+    tran, R, pred_9d, _gate = out
+    outs = {"pred_t": tran, "pred_rmtx": R, "pred_r6": pred_9d[..., 3:]}
+    return outs, state["intermediates"]
 
 
 def _replay_sixdreg(cfg, variables, inputs):
@@ -204,44 +228,142 @@ def _replay_sixdreg(cfg, variables, inputs):
         None if sp is None else jnp.asarray(sp),
         None if inl is None else jnp.asarray(inl),
         train=False, capture_intermediates=True, mutable=["intermediates"])
-    return out, state["intermediates"]
+    _R, t, pred_9d, _gate = out
+    outs = {"pred_r6": pred_9d[..., 3:], "pred_t": t}
+    return outs, state["intermediates"]
+
+
+def _replay_farloftr(cfg, variables, inputs):
+    """Replay a farloftr fixture stage by stage.
+
+    The reference LoFTR routes everything through a mutable data dict
+    (loftr.py:57-192), with dynamic match selection between the coarse
+    and fine stages. The fixture therefore records the torch coarse
+    match ids, and the replay injects those exact ids into our fine
+    stage — comparing each stage's numerics rather than the (ours:
+    static top-k, theirs: dynamic threshold) selection policy.
+    """
+    import jax.numpy as jnp
+
+    from far_tpu.models import matching as matching_mod
+    from far_tpu.models.fine import fine_coords_to_kpts
+    from far_tpu.models.loftr import FARLoFTR
+    from far_tpu.models.position import add_sine_position_encoding
+    from far_tpu.types import PairBatch, SolverSummary
+
+    model = FARLoFTR(cfg)
+    hc, wc = cfg.coarse_hw
+    stride = cfg.backbone.resolution[0]
+    fine_stride_ratio = stride // cfg.backbone.resolution[1]
+
+    def img(key):  # torch (B, 1, H, W) -> (B, H, W, 1)
+        return jnp.asarray(
+            np.transpose(np.asarray(inputs[key], np.float32), (0, 2, 3, 1)))
+
+    image0, image1 = img("image0"), img("image1")
+    B = image0.shape[0]
+    K = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None], (B, 1, 1))
+    batch = PairBatch(image0=image0, image1=image1, K0=K, K1=K)
+    i_ids = jnp.asarray(inputs["i_ids"], jnp.int32).reshape(B, -1)
+    j_ids = jnp.asarray(inputs["j_ids"], jnp.int32).reshape(B, -1)
+    scalar = lambda key: jnp.asarray(
+        np.asarray(inputs[key], np.float32).reshape(B))
+    summary = SolverSummary(
+        rt=jnp.asarray(np.asarray(inputs["solver_rt"], np.float32)
+                       .reshape(B, 3, 4)),
+        num_before=scalar("num_before"), num_after=scalar("num_after"),
+        num_tight=scalar("num_tight"),
+        num_ultra_tight=scalar("num_ultra"),
+        success=jnp.ones((B,), bool),
+    )
+
+    def full(m, batch, i_ids, j_ids, summary):
+        imgs = jnp.concatenate([batch.image0, batch.image1], axis=0)
+        feat_c, feat_f = m.backbone(imgs, train=False)
+        feat_c0, feat_c1 = feat_c[:B], feat_c[B:]
+        feat_f0, feat_f1 = feat_f[:B], feat_f[B:]
+        pe0 = add_sine_position_encoding(feat_c0, cfg.coarse.temp_bug_fix)
+        pe1 = add_sine_position_encoding(feat_c1, cfg.coarse.temp_bug_fix)
+        t0 = pe0.reshape(B, hc * wc, -1)
+        t1 = pe1.reshape(B, hc * wc, -1)
+        t0, t1 = m.loftr_coarse(t0, t1)
+        conf = matching_mod.dual_softmax_confidence(
+            t0, t1, cfg.match.dsmax_temperature)
+        f0w, f1w = m.fine_preprocess(
+            feat_f0, feat_f1, t0, t1, i_ids, j_ids, (hc, wc),
+            stride=fine_stride_ratio)
+        expec_f = m.fine_matching(f0w, f1w)
+        mkpts1_c = matching_mod.ids_to_coords(j_ids, wc, float(stride))
+        mkpts1_f = fine_coords_to_kpts(
+            expec_f, mkpts1_c, cfg.fine.window_size,
+            float(cfg.backbone.resolution[1]))
+        pred_rt, gate, _ = m.regress(t0, t1, summary)
+        return {
+            "feats_c": feat_c, "feat_f0": feat_f0,
+            "feat_c0": t0, "feat_c1": t1, "conf_matrix": conf,
+            "expec_f": expec_f, "mkpts1_f": mkpts1_f,
+            "pred_rt": pred_rt, "gate": gate,
+        }
+
+    outs = model.apply(variables, batch, i_ids, j_ids, summary,
+                       method=full)
+    return {k: np.asarray(v, np.float32) for k, v in outs.items()}, {}
 
 
 _FAMILY = {
     "vitess": (VITESS_TAPS, _replay_vitess),
     "sixdreg": (SIXDREG_TAPS, _replay_sixdreg),
+    "farloftr": (FARLOFTR_TAPS, _replay_farloftr),
 }
 
 
-def run_parity(fixture_path: str, cfg, variables=None,
+def run_parity(fixture, cfg, variables=None,
                atol: float = 1e-3) -> Dict[str, Any]:
     """Convert the fixture's state dict, replay its inputs through our
     model, and compare every recorded tap.
+
+    ``fixture`` is either a path to a recorded .npz or an in-memory
+    ``(meta, inputs, sd, taps)`` tuple (as produced by
+    ``load_fixture`` / the torch-side recorders).
+
+    Raises on a state dict with missing mapped keys OR unexpectedly
+    unused source keys — a converter that silently leaves real torch
+    weights behind is exactly the bug class this harness exists to
+    catch.
 
     Returns {"family", "taps": {name: max_abs_err}, "skipped": [...],
     "ok": bool}. ``variables`` (an initialized pytree) is required —
     init shapes depend on the fixture inputs, so callers own it.
     """
     from far_tpu.utils.convert_weights import (
+        convert_loftr_state_dict,
         convert_sixdreg_state_dict,
         convert_vitess_state_dict,
     )
 
-    meta, inputs, sd, taps = load_fixture(fixture_path)
+    if isinstance(fixture, (tuple, list)):
+        meta, inputs, sd, taps = fixture
+    else:
+        meta, inputs, sd, taps = load_fixture(fixture)
     family = meta["family"]
     if family not in _FAMILY:
         raise ValueError(f"unknown fixture family {family}")
     tap_specs, replay = _FAMILY[family]
 
     convert = {"vitess": convert_vitess_state_dict,
-               "sixdreg": convert_sixdreg_state_dict}[family]
+               "sixdreg": convert_sixdreg_state_dict,
+               "farloftr": convert_loftr_state_dict}[family]
     converted, report = convert(sd, variables, cfg)
     if report["missing"]:
         raise ValueError(
             f"fixture state dict missing mapped keys: "
             f"{report['missing'][:8]}")
+    if report["unused"]:
+        raise ValueError(
+            f"converter left source keys unmapped (silent weight drop): "
+            f"{report['unused'][:8]}")
 
-    _, inters = replay(cfg, converted, inputs)
+    outs, inters = replay(cfg, converted, inputs)
 
     errs: Dict[str, float] = {}
     skipped: List[str] = []
@@ -249,7 +371,12 @@ def run_parity(fixture_path: str, cfg, variables=None,
         if tap.name not in taps:
             skipped.append(tap.name)
             continue
-        ours = _get_intermediate(inters, tap)
+        if tap.flax_path is None:
+            ours = None
+            if isinstance(outs, dict) and tap.name in outs:
+                ours = np.asarray(outs[tap.name], np.float32)
+        else:
+            ours = _get_intermediate(inters, tap)
         if ours is None:
             skipped.append(tap.name)
             continue

@@ -88,6 +88,24 @@ class TestBilinearStreaming:
         np.testing.assert_allclose(np.asarray(r), np.asarray(s),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_grad_at_production_n(self, rng):
+        """N=1200 is >= 1024 but not divisible by the default 512 block:
+        the backward must pass _pick_block(N) to the streaming twin
+        (the production coarse count N=4800 has the same property)."""
+        B, H, N, D = 1, 1, 1200, 8
+        q = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(B, H, N, D)), jnp.float32)
+        ga = jax.grad(lambda q, k, v: jnp.sum(
+            bilinear_dual_softmax(q, k, v, 0.3) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(
+            bilinear_dual_softmax_reference(q, k, v, 0.3) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(ga, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       rtol=2e-4, atol=1e-6)
+
     def test_custom_vjp_grads_match_reference(self, rng):
         # N >= 1024 routes the backward through the streaming twin
         B, H, N, D = 1, 1, 1024, 8
