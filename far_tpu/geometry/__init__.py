@@ -9,6 +9,7 @@ the reference's OpenCV/kornia/torch.linalg native codepaths
 from far_tpu.geometry.rotations import (
     rotation_6d_to_matrix,
     matrix_to_rotation_6d,
+    ortho6d_to_matrix_rc,
     quaternion_to_matrix,
     matrix_to_quaternion,
     geodesic_distance,

@@ -41,6 +41,29 @@ def matrix_to_rotation_6d(R: jnp.ndarray) -> jnp.ndarray:
     return R[..., :2, :].reshape(*R.shape[:-2], 6)
 
 
+def ortho6d_to_matrix_rc(d6: jnp.ndarray) -> jnp.ndarray:
+    """RotationContinuity's ``compute_rotation_matrix_from_ortho6d``.
+
+    Same Gram-Schmidt frame as :func:`rotation_6d_to_matrix` but the
+    orthonormal vectors become the COLUMNS of the matrix (the output is
+    the transpose of the row convention). The reference uses BOTH
+    conventions, so parity demands both here:
+
+    - columns (this function): ViTEss's returned pose matrix
+      (8ptVit RotationContinuity tools.py:47-60, model.py:214) and the
+      mapfree DeepRes/Direct heads (rotationutils.py:32-53,
+      head.py:243,277);
+    - rows (:func:`rotation_6d_to_matrix`): the mp3d 6D loss
+      (loftr_loss.py:10-29) and the mapfree FAR loop's decode
+      (regression/model.py:25-31, 350).
+    """
+    a1, a2 = d6[..., :3], d6[..., 3:]
+    x = _normalize(a1)
+    z = _normalize(jnp.cross(x, a2))
+    y = jnp.cross(z, x)
+    return jnp.stack([x, y, z], axis=-1)
+
+
 def quaternion_to_matrix(q: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion (w, x, y, z) -> rotation matrix (..., 3, 3)."""
     q = _normalize(q)

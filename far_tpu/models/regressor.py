@@ -40,13 +40,23 @@ def epipolar_positional_basis(
     fy: float = 517.0 / 8.0,
     cx: float = 40.0,
     cy: float = 30.0,
+    xy_first: bool = False,
 ) -> np.ndarray:
-    """6-dim epipolar basis [y^2, x^2, xy, y, x, 1] per grid cell.
+    """6-dim epipolar basis per grid cell.
 
     (x, y) are the K^-1-normalized coordinates of the coarse grid, built
     exactly as the reference does (transformer.py:194-246) but closed
     form: with principal point at the grid center the normalization
     reduces to x = u / fx_norm, y = v / fy_norm for u, v in [-1, 1].
+
+    ``xy_first=False`` (mp3d): [y^2, x^2, xy, y, x, 1] in row-major
+    token order — the mp3d loop writes index ``j*w + k``
+    (mp3d transformer.py:236-240).
+    ``xy_first=True`` (8ptVit): the vendored copy writes index
+    ``k*w + j`` instead (vision_transformer.py:146-150), which on its
+    square grid with xs == ys amounts to the permuted basis
+    [x^2, y^2, xy, x, y, 1] — the trained convention, reproduced here
+    for checkpoint parity.
 
     Returns (h*w, 6) float32, row-major (y-major) token order.
     """
@@ -59,9 +69,11 @@ def epipolar_positional_basis(
     x = np.tile(us[None, :], (h, 1)) / fx_norm   # (h, w)
     y = np.tile(vs[:, None], (1, w)) / fy_norm
 
-    basis = np.stack(
-        [y * y, x * x, x * y, y, x, np.ones_like(x)], axis=-1
-    ).reshape(h * w, 6)
+    if xy_first:
+        feats = [x * x, y * y, x * y, x, y, np.ones_like(x)]
+    else:
+        feats = [y * y, x * x, x * y, y, x, np.ones_like(x)]
+    basis = np.stack(feats, axis=-1).reshape(h * w, 6)
     return basis.astype(np.float32)
 
 
@@ -92,6 +104,7 @@ class CrossAttentionEMM(nn.Module):
     num_heads: int
     grid_hw: Tuple[int, int] = (60, 80)
     grid_f: Tuple[float, float] = (517.0 / 9.0, 517.0 / 8.0)  # (fx, fy)
+    basis_xy_first: bool = False   # True for the 8ptVit basis variant
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -115,7 +128,8 @@ class CrossAttentionEMM(nn.Module):
         h, w = self.grid_hw
         fx, fy = self.grid_f
         pos = jnp.asarray(
-            epipolar_positional_basis(h, w, fx, fy, w / 2.0, h / 2.0),
+            epipolar_positional_basis(h, w, fx, fy, w / 2.0, h / 2.0,
+                                      xy_first=self.basis_xy_first),
             self.dtype,
         )  # (N, 6)
         pos = jnp.broadcast_to(pos[None, None], (B, H, N, 6))
@@ -150,6 +164,11 @@ class CrossBlockEMM(nn.Module):
     grid_f: Tuple[float, float] = (517.0 / 9.0, 517.0 / 8.0)
     use_pos_embedding: bool = False
     mlp_ratio: float = 4.0
+    # mp3d CrossBlock norms are torch-default eps 1e-5
+    # (transformer.py:305-316); the 8ptVit variant inherits timm's 1e-6
+    # (vision_transformer.py:324) — ViTEss overrides this field.
+    ln_eps: float = 1e-5
+    basis_xy_first: bool = False   # True for the 8ptVit basis variant
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -165,16 +184,19 @@ class CrossBlockEMM(nn.Module):
             feat0 = feat0 + pe
             feat1 = feat1 + pe
 
-        norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        norm1 = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                             name="norm1")
         f1, f2 = CrossAttentionEMM(
             dim=self.dim, num_heads=self.num_heads, grid_hw=self.grid_hw,
-            grid_f=self.grid_f, dtype=self.dtype, name="cross_attn",
+            grid_f=self.grid_f, basis_xy_first=self.basis_xy_first,
+            dtype=self.dtype, name="cross_attn",
         )(norm1(feat0), norm1(feat1))
 
         fund = jnp.concatenate([f1, f2], axis=1)  # (B, 2*Dv, C)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(fund)
+        y = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                         name="norm2")(fund)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU default: exact erf
         y = nn.Dense(C, dtype=self.dtype, name="mlp_fc2")(y)
         return fund + y  # (B, 2*Dv, C)
 

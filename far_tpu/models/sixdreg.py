@@ -160,17 +160,28 @@ class ResUNet(nn.Module):
         x3 = stage(x2, 128, nb[1], 2, "encoder2")   # H/8
         x4 = stage(x3, 256, nb[2], 2, "encoder3")   # H/16
 
+        def skipconnect(up, skip):
+            """Reference resunet.py:91-104: zero-pad the SKIP map to the
+            upsampled size (odd input dims make them differ by one) and
+            concatenate [upsampled, skip] — this channel order is what
+            the reference iconv weights expect (cat([x2, x1]))."""
+            dh = up.shape[1] - skip.shape[1]
+            dw = up.shape[2] - skip.shape[2]
+            skip = jnp.pad(skip, ((0, 0), (dh // 2, dh - dh // 2),
+                                  (dw // 2, dw - dw // 2), (0, 0)))
+            return jnp.concatenate([up, skip], axis=-1)
+
         # decoder with align-corners bilinear upsample
         y = resize_bilinear_align_corners(x4)
         y = _ConvBNElu(512, 3, dt, name="upconv4")(y, train)
         if not cfg.not_concat:
-            y = jnp.concatenate([x3, y], axis=-1)
+            y = skipconnect(y, x3)
         y = _ConvBNElu(512, 3, dt, name="iconv4")(y, train)
 
         y = resize_bilinear_align_corners(y)
         y = _ConvBNElu(256, 3, dt, name="upconv3")(y, train)
         if not cfg.not_concat:
-            y = jnp.concatenate([x2, y], axis=-1)
+            y = skipconnect(y, x2)
         y = _ConvBNElu(256, 3, dt, name="iconv3")(y, train)
 
         return _ConvBNElu(cfg.encoder_out_layers, 1, dt,
@@ -496,10 +507,13 @@ class TorchTransformerEncoderLayer(nn.Module):
              ).astype(jnp.float32), -1).astype(x.dtype)
         o = jnp.einsum("bhnm,bhmd->bhnd", a, v).transpose(0, 2, 1, 3)
         o = nn.Dense(C, dtype=self.dtype, name="proj")(o.reshape(B, N, C))
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + o)
+        # torch layer_norm_eps default is 1e-5 (flax default 1e-6);
+        # matching it matters over 6 stacked layers
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + o)
         y = nn.relu(nn.Dense(self.dim_ff, dtype=self.dtype, name="ff1")(x))
         y = nn.Dense(C, dtype=self.dtype, name="ff2")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name="norm2")(x + y)
 
 
 class MapfreeRegression(nn.Module):

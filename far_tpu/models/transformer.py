@@ -40,8 +40,9 @@ class _LNParams(nn.Module):
                            jnp.float32))
 
 
-def _layer_norm(x, scale, bias, eps=1e-6):
-    """flax nn.LayerNorm semantics: statistics in f32, normalize
+def _layer_norm(x, scale, bias, eps=1e-5):
+    """torch nn.LayerNorm semantics (eps 1e-5, the reference
+    LoFTREncoderLayer default): statistics in f32, normalize
     arithmetic in the compute dtype (keeps the big elementwise pass
     at bf16 HBM cost)."""
     x32 = x.astype(jnp.float32)

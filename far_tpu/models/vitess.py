@@ -195,7 +195,7 @@ class ViTSelfBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU default: exact erf
         y = nn.Dense(C, dtype=self.dtype, name="fc2")(y)
         return x + y
 
@@ -255,6 +255,8 @@ class ViTEss(nn.Module):
                 dim=cfg.dim, num_heads=cfg.num_heads,
                 grid_hw=cfg.feature_hw,
                 grid_f=(cfg.grid_fx, cfg.grid_fy),
+                ln_eps=1e-6,  # timm norm_layer eps (vision_transformer.py:324)
+                basis_xy_first=True,  # 8ptVit basis (regressor.py docstring)
                 dtype=dt, name="cross_block",
             )(feat0, feat1)                                  # (B, 2*Dv, C)
             fused = nn.LayerNorm(epsilon=1e-6, dtype=dt, name="norm")(fused)
@@ -309,14 +311,16 @@ class ViTEss(nn.Module):
                 (1 - gate[..., 1:]) * sp[..., 3:9]
             pred_9d = jnp.concatenate([pred_t, pred_r], -1)
 
-        # un-normalize + rotation matrix (reference model.py:205-217)
+        # un-normalize + rotation matrix (reference model.py:205-217;
+        # the decode is RotationContinuity's COLUMN convention, unlike
+        # the row-convention GT/input encodings — see rotations.py)
         mean, std = self._stats()
-        from far_tpu.geometry.rotations import rotation_6d_to_matrix
+        from far_tpu.geometry.rotations import ortho6d_to_matrix_rc
 
         if cfg.use_normalized_6d:
             un = pred_9d * std + mean
         else:
             un = pred_9d
         tran = un[..., :3]
-        R = rotation_6d_to_matrix(un[..., 3:])
+        R = ortho6d_to_matrix_rc(un[..., 3:])
         return tran, R, pred_9d, gate

@@ -35,7 +35,7 @@ def _elu1(x):
     return jnp.where(x > 0, x + 1.0, jnp.exp(x))
 
 
-def _ln(x, scale, bias, eps=1e-6):
+def _ln(x, scale, bias, eps=1e-5):  # torch LayerNorm default eps
     """LayerNorm over the last axis, f32 in/out."""
     mu = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mu

@@ -39,6 +39,7 @@ from far_tpu.geometry.fivepoint import run_5point_essential
 from far_tpu.geometry.solvers import (
     fast_decompose_essential,
     recover_pose_from_essential,
+    run_8point,
     run_8point_essential,
 )
 from far_tpu.solvers.types import PoseEstimate, PriorParams
@@ -197,9 +198,17 @@ def prior_ransac(
         E = E5.reshape(B, n_samples * n_cand, 3, 3)
         finite = valid5.reshape(B, n_samples * n_cand) \
             & jnp.all(jnp.isfinite(E), axis=(-1, -2))
+    elif cfg.linalg == "fast":
+        E = run_8point_essential(kp1_s, kp2_s, impl="power")  # (B, H, 3, 3)
+        finite = jnp.all(jnp.isfinite(E), axis=(-1, -2))  # (B, H)
     else:
-        impl = "power" if cfg.linalg == "fast" else "eigh"
-        E = run_8point_essential(kp1_s, kp2_s, impl=impl)  # (B, H, 3, 3)
+        # Score UNPROJECTED rank-2 DLT hypotheses, as the reference does
+        # (cv_geometry.py:772-834 zeroes the third singular value but
+        # keeps the first two): projecting onto the essential manifold
+        # here costs ~40% of the inliers on noisy minimal samples
+        # (tests/crossval_ransac.py exposed the drift). Pose recovery
+        # below re-projects via its SVD decomposition anyway.
+        E = run_8point(kp1_s, kp2_s)  # (B, H, 3, 3) unit-Frobenius
         finite = jnp.all(jnp.isfinite(E), axis=(-1, -2))  # (B, H)
 
     # ---- verification -------------------------------------------------------

@@ -22,6 +22,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite recompiles the same jitted
+# graphs (backbone, train steps, RANSAC) every session — caching them on
+# disk cuts the fast tier's wall clock severalfold on repeat runs.
+_CACHE_DIR = os.environ.get(
+    "FAR_TPU_TEST_CACHE", os.path.expanduser("~/.cache/far_tpu_xla_tests"))
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -55,12 +55,45 @@ def reference_repo(repo: str):
                 del sys.modules[name]
 
 
+@contextlib.contextmanager
+def _cpu_cuda_patch():
+    """torch.Tensor.cuda -> no-op (the reference hardcodes .cuda() in
+    forward passes; the recorders run outside reference_repo)."""
+    import torch
+
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig
+
+
 def _lower(cfg):
     from yacs.config import CfgNode as CN
 
     if not isinstance(cfg, CN):
         return cfg
     return {k.lower(): _lower(v) for k, v in cfg.items()}
+
+
+def load_reference_prior_ransac():
+    """Import the reference prior-RANSAC engine (pure-torch paths).
+
+    Reference: mp3d_loftr/third_party/prior_ransac/ransac.py:74-442.
+    Returns the RANSAC class. The 'fundamental' and 'essential' model
+    types run on CPU torch through the kornia shims; 'essential_cv2'
+    (the production minimal-solver backend) needs OpenCV and raises.
+    """
+    with reference_repo("mp3d_loftr") as root:
+        pr_dir = os.path.join(root, "third_party", "prior_ransac")
+        sys.path.insert(0, pr_dir)
+        try:
+            import ransac as ref_ransac
+
+            return ref_ransac.RANSAC
+        finally:
+            sys.path.remove(pr_dir)
 
 
 def load_reference_loftr(seed: int = 0, coarse_layers: int = 3,
@@ -141,7 +174,7 @@ def record_loftr_fixture(model, image_hw=(480, 640), seed: int = 0):
                        [sa, ca, 0.0, -0.05],
                        [0.0, 0.0, 1.0, 0.30]])
 
-    with torch.no_grad():
+    with torch.no_grad(), _cpu_cuda_patch():
         model(data, train=False)
         data["loftr_rt"] = rt
         data["num_correspondences"] = torch.tensor([123.0])
@@ -240,10 +273,14 @@ def record_vitess_fixture(model, seed: int = 0):
             captured[_n] = out.detach().cpu().numpy()
 
         handles.append(mods[mod_name].register_forward_hook(hook))
+    # production intrinsics (interiornet.py:100: [128]*4 for 256x256 —
+    # center principal point, fx == cx); the basis depends only on the
+    # fx/cx, fy/cy ratios, so [112]*4 at 224 input is the same camera
+    intr = torch.full((1, 2, 4), 112.0)
     try:
-        with torch.no_grad():
+        with torch.no_grad(), _cpu_cuda_patch():
             tran, _rot, rmtx, r6 = model(
-                images.clone(), intrinsics=None,
+                images.clone(), intrinsics=intr,
                 loftr_preds=rt, loftr_num_corr=num_corr)
     finally:
         for h in handles:
@@ -280,7 +317,7 @@ def record_sixdreg_fixture(model, seed: int = 0):
                         [0.0, 0.0, 1.0, -0.8]]])
     inliers = torch.tensor([[200.0, 80.0, 15.0]])
 
-    with torch.no_grad():
+    with torch.no_grad(), _cpu_cuda_patch():
         vol0 = model.encoder(img0)
         vol1 = model.encoder(img1)
         gvol = model.aggregator(vol0, vol1)
@@ -294,7 +331,7 @@ def record_sixdreg_fixture(model, seed: int = 0):
     t_np = lambda x: x.detach().cpu().numpy()
     taps = {
         "vol0": t_np(vol0), "vol1": t_np(vol1), "gvol": t_np(gvol),
-        "feats": t_np(feats),
+        "feats": t_np(feats), "feats_tr": t_np(feats_tr),
         "pred_r6": t_np(r6), "pred_t": t_np(t),
     }
     inputs = {

@@ -59,10 +59,18 @@ class TestVitessParity:
         inters = state["intermediates"]
 
         taps = {}
+        # output-level taps (flax_path None) need a real torch forward —
+        # the self-fixture covers the intermediate taps only; the real
+        # recorder path is tests/test_real_parity.py
         for tap in VITESS_TAPS:
-            node = inters
-            for k in tap.flax_path:
+            node, found = inters, tap.flax_path is not None
+            for k in (tap.flax_path or ()):
+                if k not in node:
+                    found = False
+                    break
                 node = node[k]
+            if not found:
+                continue
             ours = np.asarray(node["__call__"][tap.call], np.float32)
             if tap.layout == "nchw":   # store in torch layout
                 taps[tap.name] = ours.transpose(0, 3, 1, 2)
@@ -80,7 +88,8 @@ class TestVitessParity:
 
         rep = run_parity(str(fixture), cfg, variables, atol=1e-3)
         assert rep["ok"], rep
-        assert set(rep["taps"]) == {t.name for t in VITESS_TAPS}
+        assert set(rep["taps"]) == {t.name for t in VITESS_TAPS
+                                    if t.flax_path is not None}
         assert max(rep["taps"].values()) < 1e-4, rep
 
 
@@ -104,16 +113,26 @@ class TestSixdregParity:
         inters = state["intermediates"]
 
         taps = {}
+        # skip output taps (no flax_path) and taps of modules the tiny
+        # cfg doesn't build (e.g. transformer_5) — see the vitess note
         for tap in SIXDREG_TAPS:
-            node = inters
-            for k in tap.flax_path:
+            node, found = inters, tap.flax_path is not None
+            for k in (tap.flax_path or ()):
+                if k not in node:
+                    found = False
+                    break
                 node = node[k]
+            if not found:
+                continue
             ours = node["__call__"][tap.call]
             if tap.elem is not None:
                 ours = ours[tap.elem]
             ours = np.asarray(ours, np.float32)
-            taps[tap.name] = ours.transpose(0, 3, 1, 2) \
-                if tap.layout == "nchw" else ours
+            if tap.layout == "nchw":
+                ours = ours.transpose(0, 3, 1, 2)
+            elif tap.layout == "ncl":
+                ours = ours.transpose(0, 2, 1)
+            taps[tap.name] = ours
 
         fixture = tmp_path / "sixdreg_fixture.npz"
         _save_fixture(
