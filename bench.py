@@ -18,10 +18,24 @@ cv2 solver hops; see BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the bench compiles the same two
+    programs (inference step, train step) every run — caching them keeps
+    the driver's wall-clock budget for the measurement, not the compile."""
+    import jax
+
+    cache = os.environ.get("FAR_TPU_BENCH_CACHE",
+                           os.path.expanduser("~/.cache/far_tpu_xla_bench"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def profile_stages(B: int = 16, iters: int = 10):
@@ -33,6 +47,8 @@ def profile_stages(B: int = 16, iters: int = 10):
     boundaries in the real program)."""
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from far_tpu.models.loftr import FARLoFTR
     from far_tpu.pipeline import init_model, make_solver_configs
@@ -115,6 +131,14 @@ def profile_stages(B: int = 16, iters: int = 10):
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
+    t_start = time.perf_counter()
+    # two jit programs (inference + train) each pay a multi-minute
+    # remote compile on the tunneled dev TPU; keep the primary metric
+    # safe inside the driver's budget by skipping the secondary train
+    # metric when the e2e part already ate the budget
+    budget_s = float(os.environ.get("FAR_TPU_BENCH_BUDGET", "480"))
 
     from far_tpu.pipeline import far_forward, init_model
     from far_tpu.types import PairBatch
@@ -201,15 +225,185 @@ def main():
     r_err = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
     rot_med = float(np.median(r_err))
 
-    baseline = 62.5  # pairs/sec/chip implied by the 500 pairs/s v5e-8 target
-    print(json.dumps({
+    cores = os.cpu_count() or 1
+    host_io = host_io_rate()
+    host_cores_needed = float(np.ceil(pairs_per_sec / (host_io / cores)))
+
+    out = {
         "metric": "far_e2e_pairs_per_sec_per_chip",
         "value": round(pairs_per_sec, 1),
         "unit": "image pairs/sec/chip (480x640, full FAR loop, B=16)",
-        "vs_baseline": round(pairs_per_sec / baseline, 2),
+        "vs_baseline": round(pairs_per_sec / 62.5, 2),  # 500/s v5e-8 target
         "solver_rot_err_med_deg": round(rot_med, 3),
-    }))
+        "host_io_pairs_per_sec": round(host_io, 1),
+        "host_io_cores": cores,
+        "host_io_cores_for_chip_rate": host_cores_needed,
+    }
+    # The train step is a second multi-minute remote compile; measuring
+    # it after printing would risk the primary line, measuring it before
+    # would delay it. So each run reports the PREVIOUS run's train
+    # measurement (side file) and refreshes it afterwards if the budget
+    # allows — self-healing one run behind, primary metric never at risk.
+    train_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_train.json")
+    try:
+        with open(train_file) as f:
+            out.update(json.load(f))
+    except Exception:
+        pass
+    print(json.dumps(out), flush=True)
     assert rot_med < 2.0, f"solver accuracy regressed: {rot_med} deg"
+    # a production v5e host has ~112 vCPUs; the input pipeline must not
+    # need an unreasonable share of them to feed one chip
+    assert host_cores_needed <= 16, (
+        f"host input pipeline needs {host_cores_needed} cores/chip "
+        f"({host_io:.1f} pairs/s on {cores})")
+
+    if time.perf_counter() - t_start < budget_s:
+        train_steps_per_sec, train_B = train_throughput()
+        with open(train_file, "w") as f:
+            json.dump({
+                "train_steps_per_sec": round(train_steps_per_sec, 3),
+                "train_pairs_per_sec": round(train_steps_per_sec * train_B, 1),
+                "train_batch": train_B,
+            }, f)
+
+
+class _JpegPairDataset:
+    """Disk-backed pair dataset for the host-IO bench: real JPEG decode
+    (PIL) + native bilinear resize (data/native/preprocess.cpp) per
+    image — the exact production read path (data/io.py read_gray)."""
+
+    def __init__(self, paths, hw):
+        self.paths = paths
+        self.hw = hw
+        self.K = np.array([[517.97, 0, 320.0], [0, 517.97, 240.0],
+                           [0, 0, 1]], np.float32)
+
+    def __len__(self):
+        return len(self.paths) - 1
+
+    def __getitem__(self, i):
+        from far_tpu.data.io import read_gray
+
+        H, W = self.hw
+        return {
+            "image0": read_gray(self.paths[i], (W, H)),
+            "image1": read_gray(self.paths[i + 1], (W, H)),
+            "K0": self.K, "K1": self.K, "pair_id": i,
+        }
+
+
+def _write_jpegs(dirpath, n, src_hw=(768, 1024)):
+    """n distinct full-res JPEGs (decode cost is the point)."""
+    from PIL import Image
+
+    os.makedirs(dirpath, exist_ok=True)
+    rng = np.random.default_rng(0)
+    h, w = src_hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    paths = []
+    for i in range(n):
+        fx, fy, ph = rng.uniform(0.5, 4, 3)
+        img = (127 + 60 * np.sin(xx * fx / 50 + ph) *
+               np.cos(yy * fy / 50) + rng.normal(0, 12, (h, w))
+               ).clip(0, 255).astype(np.uint8)
+        p = os.path.join(dirpath, f"im{i:04d}.jpg")
+        Image.fromarray(img).save(p, quality=90)
+        paths.append(p)
+    return paths
+
+
+def host_io_rate(n_pairs: int = 128, B: int = 16, workers: int = 0,
+                 hw=(480, 640)) -> float:
+    """Disk -> JPEG decode -> native resize -> collated PairBatch rate
+    (pairs/s) through the production Loader (VERDICT r2 #4).
+
+    This is the host side the chip depends on in production: with
+    prefetch overlap the pipeline sustains min(host_io, chip) pairs/s.
+    PIL's decoder and the OpenMP resize release the GIL, so the rate
+    scales with decode threads — but THIS dev host exposes a single CPU
+    core (nproc=1; the TPU rides a tunnel), so the bench measures the
+    per-core rate and reports how many cores a production host needs
+    (a v5e host has ~112 vCPUs vs the ~2-3 this pipeline requires).
+
+    workers=0 auto-sizes to the visible core count (extra threads on a
+    1-core host only add contention — measured 42 -> 6 pairs/s).
+    """
+    from far_tpu.data.loader import Loader
+
+    if workers <= 0:
+        workers = min(8, os.cpu_count() or 1)
+    root = "/tmp/far_tpu_hostio"
+    n_imgs = n_pairs + 1
+    paths = _write_jpegs(root, n_imgs)
+    ds = _JpegPairDataset(paths, hw)
+    indices = np.arange(len(ds))
+    loader = Loader(ds, indices, batch_size=B, prefetch=2, workers=workers)
+    # warm one epoch (page cache, thread start)
+    n = sum(b.image0.shape[0] for b in loader)
+    t0 = time.perf_counter()
+    n = sum(b.image0.shape[0] for b in loader)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def train_throughput(B: int = 8, iters: int = 5):
+    """Jitted production train step (forward+backward+update, 480x640,
+    bf16) throughput — the second bench metric so perf work on the
+    inference path cannot silently regress training (VERDICT r2 #8).
+
+    B=8: the largest production-resolution train batch that fits one
+    v5e chip's 16 GB HBM without rematerialization (B=16 ResourceExhausts;
+    the backward keeps the full backbone+attention activation set).
+
+    Inputs are PRNG-distinct per step and a checksum of the final step's
+    loss is fetched once (same anti-caching protocol as the e2e loop).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from far_tpu.train.optim import OptimConfig
+    from far_tpu.train.trainer import Trainer
+    from far_tpu.types import PairBatch
+    from far_tpu.utils.config import FARConfig
+
+    cfg = FARConfig(dtype="bfloat16")
+    trainer = Trainer(cfg, OptimConfig(lr=1e-4, warmup_steps=0,
+                                       scheduler="none"))
+    state = trainer.init(seed=0, batch_size=B)
+
+    H, W = cfg.image_size
+    K = jnp.tile(jnp.asarray(
+        np.array([[517.97, 0, 320.0], [0, 517.97, 240.0], [0, 0, 1]],
+                 np.float32))[None], (B, 1, 1))
+    T = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (B, 1, 1))
+
+    step_fn = trainer.step
+
+    def make_batch(key):
+        k0, k1 = jax.random.split(key)
+        return PairBatch(
+            image0=jax.random.uniform(k0, (B, H, W, 1), jnp.float32),
+            image1=jax.random.uniform(k1, (B, H, W, 1), jnp.float32),
+            K0=K, K1=K, T_0to1=T, T_1to0=T,
+            depth0=jnp.full((B, H, W), 2.0, jnp.float32),
+            depth1=jnp.full((B, H, W), 2.0, jnp.float32),
+        )
+
+    base = jax.random.PRNGKey(42)
+    state, metrics = step_fn(state, make_batch(base), base)
+    float(metrics["loss"])  # compile + sync
+
+    keys = [jax.random.fold_in(base, i + 1) for i in range(iters)]
+    batches = jax.block_until_ready([make_batch(k) for k in keys])
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step_fn(state, batches[i], keys[i])
+    loss = float(metrics["loss"])  # single sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), loss
+    return iters / dt, B
 
 
 if __name__ == "__main__":

@@ -24,3 +24,15 @@ utils      config tree and misc helpers
 """
 
 __version__ = "0.1.0"
+
+# Platform escape hatch: FAR_TPU_PLATFORM=cpu forces the CPU backend
+# before any JAX backend initializes. Needed on hosts whose interpreter
+# registers a TPU PJRT plugin at startup (sitecustomize) where the
+# JAX_PLATFORMS env var alone is ignored — e.g. to run the CLIs while
+# another process holds the single TPU.
+import os as _os
+
+if _os.environ.get("FAR_TPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["FAR_TPU_PLATFORM"])

@@ -42,11 +42,22 @@ from far_tpu.utils.cli import add_common_args, apply_overrides, build_dataset
 from far_tpu.utils.config import FARConfig
 
 
-def _check_batch_intrinsics(batch) -> None:
+def _check_batch_intrinsics(batch, cfg: FARConfig = None) -> None:
     """Host-side guard mirroring the reference's per-batch intrinsics
     assertion (vision_transformer.py:115-127): the epipolar positional
     basis is built once per config, so both frames must share intrinsics
-    with the principal point at the image center."""
+    with the principal point at the image center — AND those intrinsics
+    must be the ones the config's basis was built for.
+
+    The basis normalization depends only on the unit-free ratios fx/cx
+    and fy/cy (regressor.epipolar_positional_basis:63-70), so the batch
+    pixel K is compared against the config's grid-unit constants
+    directly. Tolerance is 15%: the production mp3d constants divide fx
+    by 9 where the true stride is 8 (transformer.py:195 — a trained-in
+    convention, an 11% deviation that must pass), while a genuinely
+    different camera (e.g. fx/cx 1.0 vs Matterport's 1.6) deviates far
+    beyond it and raises instead of silently corrupting EMM features.
+    """
     K0 = np.asarray(batch.K0)
     K1 = np.asarray(batch.K1)
     if not np.allclose(K0, K1, rtol=1e-3):
@@ -54,6 +65,24 @@ def _check_batch_intrinsics(batch) -> None:
             "per-pair intrinsics differ between frames; the epipolar "
             "positional basis (RegressConfig.grid_fx/grid_fy) assumes "
             "shared intrinsics")
+    if cfg is None:
+        return
+    gh, gw = cfg.coarse_hw
+    cfg_fx_ratio = cfg.regress.grid_fx / (gw / 2.0)
+    cfg_fy_ratio = cfg.regress.grid_fy / (gh / 2.0)
+    fx_ratio = K0[:, 0, 0] / np.maximum(K0[:, 0, 2], 1e-6)
+    fy_ratio = K0[:, 1, 1] / np.maximum(K0[:, 1, 2], 1e-6)
+    tol = 0.15
+    bad_fx = np.abs(fx_ratio / cfg_fx_ratio - 1.0) > tol
+    bad_fy = np.abs(fy_ratio / cfg_fy_ratio - 1.0) > tol
+    if np.any(bad_fx) or np.any(bad_fy):
+        raise ValueError(
+            f"batch intrinsics (fx/cx={float(fx_ratio[0]):.3f}, "
+            f"fy/cy={float(fy_ratio[0]):.3f}) do not match the epipolar "
+            f"basis constants (config fx/cx={cfg_fx_ratio:.3f}, "
+            f"fy/cy={cfg_fy_ratio:.3f}); set "
+            "--set regress.grid_fx/grid_fy for this camera or the EMM "
+            "features will be silently wrong")
 
 
 def parse_args(argv=None):
@@ -126,7 +155,10 @@ def main(argv=None):
     for bi, (batch, meta) in enumerate(loader):
         if args.max_batches and bi >= args.max_batches:
             break
-        _check_batch_intrinsics(batch)
+        # synthetic smoke data invents its own K (0.8*max(H,W) focal);
+        # the basis-constants check applies to real-camera datasets
+        _check_batch_intrinsics(
+            batch, None if args.dataset == "synthetic" else cfg)
         key, sub = jax.random.split(key)
         out = fn(variables, batch, sub)
         R = np.asarray(out.R)

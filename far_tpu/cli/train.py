@@ -84,6 +84,13 @@ def parse_args(argv=None):
     p.add_argument("--corr_npz", default=None,
                    help="precomputed matcher shard (far_tpu.cli.precompute)"
                         " instead of GT-projected correspondences")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax.config.jax_debug_nans: re-run the step "
+                        "de-optimized on the first NaN and raise with the "
+                        "producing op (equivalent of torch "
+                        "set_detect_anomaly, mapfree_6dreg/train.py:22). "
+                        "Disables optax.apply_if_finite NaN-skipping so "
+                        "the NaN is raised, not swallowed")
     return p.parse_args(argv)
 
 
@@ -212,7 +219,12 @@ def _build_trainer_and_loaderfn(args, family, cfg, optim):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     family, cfg, optim = _resolve_family(args)
+    if args.debug_nans:
+        # surface the NaN instead of skipping the update
+        optim = dataclasses.replace(optim, skip_nonfinite=False)
 
     # canonical-LR linear scaling by world size (reference train.py:199-211)
     world = jax.device_count()

@@ -52,43 +52,53 @@ class Loader:
 
     def __init__(self, dataset, indices: Sequence[int], batch_size: int,
                  prefetch: int = 2, collate=collate_pairs,
-                 keep_meta: bool = False):
+                 keep_meta: bool = False, workers: int = 1):
         self.dataset = dataset
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
         self.prefetch = max(1, prefetch)
         self.collate = collate
         self.keep_meta = keep_meta
+        # workers > 1: batch b is produced by thread b % workers; the
+        # consumer reads the per-worker queues round-robin, so batch
+        # order is deterministic regardless of thread scheduling. PIL's
+        # JPEG decoder and the native resize both release the GIL, so
+        # decode threads scale (one thread caps at ~decode-bound rate;
+        # see bench.py --host_io).
+        self.workers = max(1, workers)
 
     def __len__(self):
         return len(self.indices) // self.batch_size
 
-    def _produce(self, q: queue.Queue):
+    def _make_batch(self, b: int):
+        idx = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
+        samples = [self.dataset[int(i)] for i in idx]
+        batch = self.collate(samples)
+        if self.keep_meta:
+            meta = {
+                "pair_names": [s.get("pair_names") for s in samples],
+                "scene": [s.get("scene") for s in samples],
+            }
+            return batch, meta
+        return batch
+
+    def _produce(self, q: queue.Queue, worker: int):
         try:
-            for b in range(len(self)):
-                idx = self.indices[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = [self.dataset[int(i)] for i in idx]
-                batch = self.collate(samples)
-                if self.keep_meta:
-                    meta = {
-                        "pair_names": [s.get("pair_names") for s in samples],
-                        "scene": [s.get("scene") for s in samples],
-                    }
-                    q.put((batch, meta))
-                else:
-                    q.put(batch)
+            for b in range(worker, len(self), self.workers):
+                q.put(self._make_batch(b))
             q.put(None)
         except BaseException as e:  # surface worker errors to the consumer
             q.put(e)
 
     def __iter__(self) -> Iterator:
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
+        queues = [queue.Queue(maxsize=self.prefetch)
+                  for _ in range(self.workers)]
+        for w, q in enumerate(queues):
+            threading.Thread(target=self._produce, args=(q, w),
+                             daemon=True).start()
+        for b in range(len(self)):
+            item = queues[b % self.workers].get()
             if isinstance(item, BaseException):
                 raise item
+            assert item is not None
             yield item

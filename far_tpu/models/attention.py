@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 import jax.nn
+import numpy as np
 
 
 def elu_feature_map(x: jnp.ndarray) -> jnp.ndarray:
@@ -50,13 +51,28 @@ def linear_attention(
     v = v / v_length  # matches reference fp16 guard; harmless in f32/bf16
 
     if q.shape[1] <= 32 and k.shape[1] <= 32:
-        # tiny-window path (fine-level 5x5 windows): the per-(batch, head)
-        # matmuls are far below MXU tile size, so express the contractions
-        # as broadcast multiply-reduce on the VPU instead.
-        KV = jnp.sum(K[..., :, None] * v[..., None, :], axis=1)  # (n,h,d,dv)
-        Ksum = jnp.sum(K, axis=1)                                # (n,h,d)
-        Z = 1.0 / (jnp.sum(Q * Ksum[:, None], axis=-1) + eps)    # (n,l,h)
-        out = jnp.sum(Q[..., None] * KV[:, None], axis=-2)       # (n,l,h,dv)
+        # Tiny-window path (fine-level 5x5 windows). Per-(batch, head)
+        # (25,16)x(16,16) matmuls are far below MXU tile size; the VPU
+        # broadcast-reduce alternative is HBM-bound (~16 ms of the fine
+        # stage). Instead fold the heads back into the full C=h*d lane
+        # axis and compute K^T V as ONE batched (C, s)x(s, C) matmul per
+        # window — MXU-shaped (128 lanes, batch n) — then zero the
+        # cross-head blocks with a constant (C, C) block-diagonal mask.
+        # The 8x redundant cross-head FLOPs are free (the MXU was idle);
+        # the layout never leaves (rows, 128) registers.
+        n, l, h, d = Q.shape
+        s = K.shape[1]
+        C = h * d
+        Qc = Q.reshape(n, l, C)
+        Kc = K.reshape(n, s, C)
+        Vc = v.reshape(n, s, C)
+        head_mask = jnp.asarray(
+            np.kron(np.eye(h, dtype=np.float32), np.ones((d, d), np.float32)),
+            Qc.dtype)
+        KV = jnp.einsum("nsc,nsd->ncd", Kc, Vc) * head_mask  # (n, C, C)
+        Ksum = jnp.sum(K, axis=1)                             # (n, h, d)
+        Z = 1.0 / (jnp.sum(Q * Ksum[:, None], axis=-1) + eps)  # (n,l,h)
+        out = jnp.einsum("nlc,ncd->nld", Qc, KV).reshape(n, l, h, d)
         return out * Z[..., None] * v_length
 
     KV = jnp.einsum("nshd,nshv->nhdv", K, v)

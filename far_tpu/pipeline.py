@@ -38,6 +38,7 @@ def make_solver_configs(cfg: FARConfig) -> Tuple[SolverConfig, SolverConfig]:
         prior_inl_th=so.prior_inl_th,
         prior_lambda=so.prior_lambda,
         bias_sigma_sq=so.bias_sigma_sq,
+        scoring=so.scoring,
     )
     if so.solver == "prior_ransac":
         first = SolverConfig(solver="prior_ransac_noprior", **base)
@@ -163,7 +164,10 @@ def mapfree_forward(
     )
     m = m_out.matches
 
-    first_cfg = SolverConfig(solver="ransac", pixel_thr=pixel_thr)
+    # round 0 mirrors the reference's cv2.USAC_MAGSAC: sigma-marginalized
+    # scoring instead of a hard inlier count (pose_solver.py:81-83)
+    first_cfg = SolverConfig(solver="ransac", pixel_thr=pixel_thr,
+                             scoring="magsac")
     refine_cfg = SolverConfig(solver="prior_ransac")
 
     keys = jax.random.split(key, fine_pred_steps)

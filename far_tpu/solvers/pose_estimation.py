@@ -49,6 +49,7 @@ class SolverConfig:
     bias_sigma_sq: float = 0.1
     min_valid: int = 8
     minimal_solver: str = "8pt"  # '8pt' or '5pt' (Nister)
+    scoring: str = "inlier"      # or 'magsac' (sigma-marginalized)
 
     def ransac_config(self, use_prior: bool) -> RansacConfig:
         return RansacConfig(
@@ -60,6 +61,7 @@ class SolverConfig:
             use_prior_scoring=use_prior,
             use_biased_sampling=use_prior,
             min_valid=self.min_valid,
+            scoring=self.scoring,
         )
 
 

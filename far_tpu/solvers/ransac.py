@@ -64,6 +64,13 @@ class RansacConfig:
     use_biased_sampling: bool = True
     distance_thresh: float = 1e9
     error_fn: str = "sampson"    # or "symmetric"
+    scoring: str = "inlier"      # 'inlier' (hard threshold count, the
+                                 # reference prior_ransac semantics) or
+                                 # 'magsac' (sigma-marginalized soft
+                                 # count — the cv2.USAC_MAGSAC-style
+                                 # scoring the reference mapfree solver
+                                 # uses, pose_solver.py:81-83)
+    magsac_levels: int = 8       # sigma discretization of the marginal
     fivept_det_tol: float = 2.5e-2  # |det E| candidate filter of the 5pt
                                  # solver; loosen for high-noise datasets
     min_valid: int = 8           # below this the solve is flagged failed
@@ -84,12 +91,23 @@ def _sample_indices(
     top_k over num_hyp * N lanes (~17 ms/batch at production sizes vs
     ~2 ms for this).
 
+    Memory bound: the compare materializes (B, num_hyp, S, N) bools —
+    0.13 GB at the production worst case (B=16, H=2048, S=8, N=512) and
+    quadratic-free, but it scales linearly in N: past N ~= 16k
+    correspondences (4 GB) a segmented scan over N-chunks would be
+    needed. Production N is capped at MatchConfig.max_matches (512),
+    far below that; the static assert below documents the ceiling.
+
     Args:
         logw: (B, N) log sampling weights (-inf for invalid points).
     Returns:
         (B, num_hyp, sample_size) int32 indices.
     """
     B, N = logw.shape
+    assert B * num_hyp * sample_size * N < 2**33, (
+        "inverse-CDF sampler compare tensor would exceed ~8 GB; "
+        "chunk the N axis before raising MAX_MATCHES this far"
+    )
     w = jnp.exp(logw - jnp.max(logw, axis=-1, keepdims=True))
     cdf = jnp.cumsum(w, axis=-1)
     total = cdf[:, -1:]
@@ -215,7 +233,26 @@ def prior_ransac(
     thr = cfg.inl_th if inl_th is None else inl_th[:, None, None]
     errs = _epipolar_error(cfg, kp1[:, None], kp2[:, None], E)  # (B, H, N)
     inl = (errs <= thr) & valid[:, None]
-    score = jnp.sum(inl.astype(dtype), axis=-1)  # (B, H)
+    if cfg.scoring == "magsac":
+        # MAGSAC-style sigma-marginalized quality (Barath et al.;
+        # the scoring behind the reference mapfree cv2.USAC_MAGSAC,
+        # pose_solver.py:81-83): marginalize the inlier indicator over
+        # sigma in (0, sigma_max], discretized at L levels. Squared
+        # errors scale as sigma^2, so level l's threshold is
+        # thr * (l/L)^2. Points with tiny residuals count at every
+        # level (weight 1); borderline points count fractionally —
+        # model selection stops rewarding hypotheses that barely drag
+        # outliers under one hard threshold. The reported inlier mask /
+        # counts still use the hard threshold.
+        L = cfg.magsac_levels
+        score = jnp.zeros(errs.shape[:2], dtype)
+        for lvl in range(1, L + 1):
+            frac = (lvl / L) ** 2
+            score = score + jnp.sum(
+                ((errs <= thr * frac) & valid[:, None]).astype(dtype), -1)
+        score = score / L  # (B, H) soft count in [0, #inliers]
+    else:
+        score = jnp.sum(inl.astype(dtype), axis=-1)  # (B, H)
 
     if prior is not None and cfg.use_prior_scoring:
         perr = _prior_transport_error(E, prior, cfg.linalg)

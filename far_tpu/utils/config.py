@@ -99,6 +99,10 @@ class SolverOptions:
     prior_lambda: float = 0.3
     bias_sigma_sq: float = 0.1
     fine_pred_steps: int = 2       # prior refinement rounds
+    scoring: str = "inlier"        # 'inlier' (hard count, prior_ransac
+                                   # parity) or 'magsac' (sigma-
+                                   # marginalized, the mapfree
+                                   # cv2.USAC_MAGSAC equivalent)
 
 
 @dataclasses.dataclass(frozen=True)

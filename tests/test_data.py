@@ -134,6 +134,28 @@ class TestSyntheticAndLoader:
         assert b.T_0to1.shape == (4, 4, 4)
         assert b.depth0.shape == (4, 64, 64)
 
+    def test_loader_multiworker_order_and_errors(self):
+        """workers>1 must yield batches in the exact single-worker order
+        (round-robin queues) and surface worker exceptions."""
+        ds = SyntheticPairDataset(n=12, hw=(32, 32))
+        ref = [np.asarray(b.pair_id)
+               for b in Loader(ds, np.arange(12), batch_size=2)]
+        got = [np.asarray(b.pair_id)
+               for b in Loader(ds, np.arange(12), batch_size=2, workers=3)]
+        assert len(got) == len(ref) == 6
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)
+
+        class Boom:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(Loader(Boom(), np.arange(4), batch_size=2, workers=2))
+
     def test_mp3d_dataset_from_fixture(self, tmp_path):
         """Round-trip the mp3d json/pair layout with tiny fixture files."""
         from PIL import Image

@@ -93,6 +93,32 @@ class TestPriorRansac:
         np.testing.assert_allclose(np.asarray(est.R[0]), np.eye(3), atol=1e-6)
         assert float(est.num_inliers[0]) == 0.0
 
+    def test_magsac_scoring_ab(self, rng):
+        """MAGSAC-style sigma-marginalized scoring (the mapfree
+        cv2.USAC_MAGSAC equivalent, pose_solver.py:81-83) must be at
+        least as accurate as the hard inlier count at equal hypotheses
+        (VERDICT r2 #5). A/B on noisy scenes where the hard threshold is
+        generously mis-set — the regime MAGSAC exists for."""
+        import dataclasses
+
+        scenes = [make_scene(rng, noise=2e-3) for _ in range(6)]
+        kp1 = jnp.stack([jnp.asarray(s[2]) for s in scenes])
+        kp2 = jnp.stack([jnp.asarray(s[3]) for s in scenes])
+        valid = jnp.stack([jnp.asarray(s[4]) for s in scenes])
+        base = RansacConfig(num_hypotheses=512, inl_th=3e-4, polish=False)
+
+        def med_err(cfg, seed=5):
+            est = prior_ransac(jax.random.PRNGKey(seed), kp1, kp2, valid,
+                               cfg=cfg)
+            errs = [np.degrees(float(geodesic_distance(
+                est.R[b], jnp.asarray(s[0], jnp.float32))))
+                for b, s in enumerate(scenes)]
+            return float(np.median(errs))
+
+        plain = med_err(base)
+        soft = med_err(dataclasses.replace(base, scoring="magsac"))
+        assert soft <= plain * 1.05 + 0.05, (soft, plain)
+
     def test_jit_and_vmap_batching(self, rng):
         """Engine must be jittable and support B>1."""
         scenes = [make_scene(rng) for _ in range(2)]
