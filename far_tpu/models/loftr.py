@@ -84,20 +84,18 @@ class FARLoFTR(nn.Module):
     def setup(self):
         cfg = self.config
         dt = _dtype_of(cfg)
-        if cfg.backbone.resolution[0] == 8:
-            self.backbone = ResNetFPN_8_2(
-                initial_dim=cfg.backbone.initial_dim,
-                block_dims=tuple(cfg.backbone.block_dims),
-                norm=cfg.backbone.norm,
-                dtype=dt,
-            )
-        else:
-            self.backbone = ResNetFPN_16_4(
-                initial_dim=cfg.backbone.initial_dim,
-                block_dims=tuple(cfg.backbone.block_dims),
-                norm=cfg.backbone.norm,
-                dtype=dt,
-            )
+        bb_cls = ResNetFPN_8_2 if cfg.backbone.resolution[0] == 8 \
+            else ResNetFPN_16_4
+        if cfg.remat:
+            # rematerialize the FPN in the backward pass (config.remat
+            # docstring); `train` is a static python bool
+            bb_cls = nn.remat(bb_cls, static_argnums=(2,))
+        self.backbone = bb_cls(
+            initial_dim=cfg.backbone.initial_dim,
+            block_dims=tuple(cfg.backbone.block_dims),
+            norm=cfg.backbone.norm,
+            dtype=dt,
+        )
         self.loftr_coarse = LocalFeatureTransformer(
             d_model=cfg.coarse.d_model,
             nhead=cfg.coarse.nhead,
@@ -135,7 +133,8 @@ class FARLoFTR(nn.Module):
         # as the reference for better BN statistics, loftr.py:72-74)
         B = batch.image0.shape[0]
         imgs = jnp.concatenate([batch.image0, batch.image1], axis=0)
-        feat_c, feat_f = self.backbone(imgs, train=train)
+        feat_c, feat_f = self.backbone(imgs, train)  # positional: remat
+                                                     # static_argnums=(2,)
         feat_c0, feat_c1 = feat_c[:B], feat_c[B:]
         feat_f0, feat_f1 = feat_f[:B], feat_f[B:]
 

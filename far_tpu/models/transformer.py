@@ -90,13 +90,11 @@ class LoFTREncoderLayer(nn.Module):
         w1 = _Kernel((2 * C, C), name="mlp_1")()
         ln2 = _LNParams(C, name="norm2")()
 
-        # The fused kernel wins only on the long coarse token sets. For
-        # the tiny fine windows the XLA tiny-window VPU path (see
-        # attention.py) beats both window-kernel designs tried: w-major
-        # block-diagonal attention (37 ms vs 27 ms for the fine stage —
-        # nb x wasted MXU FLOPs) and the s-major per-source-token loop
-        # (38 ms + pathological Mosaic compile time; see
-        # ops/loftr_layer.py:fused_window_layer). Small L stays here.
+        # The fused kernel wins only on the long coarse token sets. The
+        # tiny fine windows use the MXU-batched tiny-window path in
+        # attention.py (head-block-masked full-C matmuls); two fused
+        # window-kernel designs lost to XLA and were deleted (git
+        # history, ops/loftr_layer.py pre-r3). Small L stays here.
         if (self.attention == "linear" and x_mask is None
                 and source_mask is None and x.shape == source.shape
                 and L >= 1024 and L % 8 == 0 and C % 128 == 0):

@@ -114,153 +114,6 @@ def fused_loftr_layer_reference(x, source, params, nhead: int):
     return (x.astype(jnp.float32) + y).astype(dt)
 
 
-def _window_kernel(x_ref, src_ref, wq_ref, wk_ref, wv_ref, wm_ref,
-                   ln1_ref, w0x_ref, w0m_ref, w1_ref, ln2_ref, out_ref,
-                   kf_ref, v_ref,
-                   *, nhead: int, nb: int, s: int, c: int):
-    """Fine-window variant, token-major ("s-major") layout.
-
-    Blocks arrive as (S, nb, C): token index outermost, so the rows of
-    the flattened (S*nb, C) working set group by token position and a
-    whole token-slice K_s2/V_s2 is one contiguous static slice — no
-    token padding, no per-window block-diagonal masking. Projections
-    and the MLP stay full-width (S*nb, C) x (C, C) MXU matmuls; the
-    per-window linear attention unrolls over the S source tokens:
-
-        for s2: A(:, h) = ((Qf . K_s2-broadcast) @ seg)   # (S*nb, H)
-                Z_acc += A;  out_acc += (A @ seg^T) . V_s2-broadcast
-
-    where seg is the fixed 0/1 (C, H) head-segment matrix (exact in
-    bf16). Row sums of A are the linear-attention normalizers, so Z
-    comes free from the same loop.
-    """
-    d = c // nhead
-    f32 = jnp.float32
-    rows = s * nb
-
-    def mm(a, w):
-        return jax.lax.dot_general(
-            a, w, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-
-    x3 = x_ref[...]                       # (S, nb, C) bf16
-    src3 = src_ref[...]
-    dt = x3.dtype
-    x = x3.reshape(rows, c)
-    src = src3.reshape(rows, c)
-
-    sr = jax.lax.broadcasted_iota(jnp.int32, (c, nhead), 0) // d
-    sc = jax.lax.broadcasted_iota(jnp.int32, (c, nhead), 1)
-    seg = (sr == sc).astype(dt)           # (C, H) 0/1
-    segT = jnp.swapaxes(seg, 0, 1)        # (H, C)
-
-    qf = _elu1(mm(x, wq_ref[...])).astype(dt)        # (rows, C)
-    # K/V features go through VMEM scratch so the source-token loop can
-    # slice them dynamically (dynamic_slice on values has no TPU
-    # lowering; on refs it does)
-    kf_ref[...] = _elu1(mm(src, wk_ref[...])).astype(dt)
-    v_ref[...] = mm(src, wv_ref[...]).astype(dt)
-
-    q3 = qf.reshape(s, nb, c)
-
-    def body(s2, carry):
-        z_acc, o_acc = carry
-        k_s2 = kf_ref[pl.ds(s2 * nb, nb), :]         # (nb, C)
-        v_s2 = v_ref[pl.ds(s2 * nb, nb), :]
-        prod = (q3 * k_s2[None]).reshape(rows, c)    # Q . K_s2 per (w, s1)
-        a2 = mm(prod, seg)                           # (rows, H) f32
-        aexp = jax.lax.dot_general(
-            a2.astype(dt), segT, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32).astype(dt)   # (rows, C)
-        o_acc = o_acc + (aexp.reshape(s, nb, c)
-                         * v_s2[None]).reshape(rows, c)
-        return z_acc + a2, o_acc
-
-    z_acc, o_acc = jax.lax.fori_loop(
-        0, s, body,
-        (jnp.zeros((rows, nhead), f32), jnp.zeros((rows, c), f32)))
-
-    z = 1.0 / (z_acc + 1e-6)                         # (rows, H) f32
-    zc = mm(z.astype(dt), segT)                      # (rows, C)
-    msg = (o_acc * zc).astype(dt)
-
-    ln1 = ln1_ref[...]
-    m = _ln(mm(msg, wm_ref[...]), ln1[0:1, :], ln1[1:2, :]).astype(dt)
-    y = mm(x, w0x_ref[...]) + mm(m, w0m_ref[...])
-    y = jnp.maximum(y, 0.0).astype(dt)
-    ln2 = ln2_ref[...]
-    y = _ln(mm(y, w1_ref[...]), ln2[0:1, :], ln2[1:2, :])
-    out = (x.astype(f32) + y).astype(dt)
-    out_ref[...] = out.reshape(s, nb, c)
-
-
-def fused_window_layer(x: jnp.ndarray, source: jnp.ndarray,
-                       params: dict, nhead: int) -> jnp.ndarray:
-    """One LoFTR encoder layer over many tiny windows, fused.
-
-    NOT DISPATCHED by LoFTREncoderLayer: measured on v5e at the fine
-    shapes (B'=16384, S=25, C=128) this s-major design runs the fine
-    stage at 38 ms vs 27 ms for the unfused XLA tiny-window path, and
-    an earlier w-major block-diagonal design hit 37 ms — the per-window
-    contractions are too small to beat XLA's fused broadcast-reduce.
-    Kept (with its numerics validated against the reference) as the
-    starting point for a future attempt.
-
-    Args:
-        x, source: (B', S, C) with S <= 32 (the 5x5 fine windows give
-            S=25, B' = batch * max_matches).
-    Returns:
-        (B', S, C) in x.dtype.
-
-    The kernel runs token-major: inputs are transposed to (S, B', C)
-    outside the kernel (XLA cancels the adjacent out/in transposes
-    between consecutive layers of the fine stack).
-    """
-    Bp, S, C = x.shape
-    on_cpu = jax.devices()[0].platform == "cpu"
-    nb = 256
-    if (on_cpu or S > 32 or source.shape[1] != S or Bp % nb
-            or C % 128 or C % nhead):
-        return fused_loftr_layer_reference(x, source, params, nhead)
-
-    dt = x.dtype
-    cast = {k2: v.astype(dt) for k2, v in params.items()
-            if k2 not in ("ln1", "ln2")}
-    ln1 = params["ln1"].astype(jnp.float32)
-    ln2 = params["ln2"].astype(jnp.float32)
-
-    x_t = jnp.swapaxes(x, 0, 1)           # (S, B', C)
-    src_t = jnp.swapaxes(source, 0, 1)
-
-    full = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-    out_t = pl.pallas_call(
-        functools.partial(_window_kernel, nhead=nhead, nb=nb, s=S, c=C),
-        out_shape=jax.ShapeDtypeStruct((S, Bp, C), dt),
-        grid=(Bp // nb,),
-        in_specs=[
-            pl.BlockSpec((S, nb, C), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, nb, C), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            full((C, C)), full((C, C)), full((C, C)), full((C, C)),
-            full((2, C)),
-            full((C, 2 * C)), full((C, 2 * C)), full((2 * C, C)),
-            full((2, C)),
-        ],
-        out_specs=pl.BlockSpec((S, nb, C), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((S * nb, C), dt),   # kf
-            pltpu.VMEM((S * nb, C), dt),   # v
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1024 * 1024 * 100),
-        ),
-    )(x_t, src_t, cast["wq"], cast["wk"], cast["wv"], cast["wm"], ln1,
-      cast["w0x"], cast["w0m"], cast["w1"], ln2)
-    return jnp.swapaxes(out_t, 0, 1)
-
-
 def fused_loftr_layer(x: jnp.ndarray, source: jnp.ndarray,
                       params: dict, nhead: int) -> jnp.ndarray:
     """One LoFTR encoder layer, fused.
@@ -315,8 +168,11 @@ def fused_loftr_layer(x: jnp.ndarray, source: jnp.ndarray,
 
 
 def _dispatch(x, source, params, nhead):
-    if x.shape[1] <= 32:
-        return fused_window_layer(x, source, params, nhead)
+    # Tiny windows (L <= 32) are served by the MXU-batched tiny-window
+    # path in models/attention.py, not a fused kernel: two fused window
+    # kernel designs (w-major block-diagonal, s-major token-loop) both
+    # lost to XLA at the fine shapes and were deleted — see git history
+    # (ops/loftr_layer.py pre-r3) before attempting a third.
     return fused_loftr_layer(x, source, params, nhead)
 
 

@@ -138,6 +138,10 @@ class FARConfig:
     regress_rt: bool = True
     predict_translation_scale: bool = False
     dtype: str = "float32"  # compute dtype: 'float32' | 'bfloat16'
+    remat: bool = False     # jax.checkpoint the backbone: trades ~15%
+                            # backward FLOPs for the FPN activation set,
+                            # letting a 480x640 train batch of 16 fit
+                            # one v5e chip (B=16 OOMs without it)
 
     def __post_init__(self):
         s = self.backbone.resolution[0]

@@ -114,6 +114,33 @@ class TestShardedTraining:
         )
         assert max(jax.tree.leaves(delta)) > 0
 
+    @pytest.mark.slow
+    def test_remat_train_step_matches_plain(self, rng):
+        """cfg.remat (jax.checkpoint on the backbone) must produce the
+        same loss/grads as the plain step — it only changes what is
+        recomputed in the backward, not the math."""
+        H = W = 64
+        T = np.tile(np.eye(4)[None], (8, 1, 1)).astype(np.float32)
+
+        def one_step(remat):
+            cfg = small_config(remat=remat)
+            trainer = Trainer(
+                cfg, OptimConfig(lr=1e-4, warmup_steps=0, scheduler="none"))
+            state = trainer.init(seed=0, batch_size=8)
+            batch = make_batch(np.random.default_rng(0), cfg, B=8).replace(
+                T_0to1=jnp.asarray(T), T_1to0=jnp.asarray(T),
+                depth0=jnp.full((8, H, W), 2.0),
+                depth1=jnp.full((8, H, W), 2.0),
+            )
+            _, metrics = trainer.step(state, batch, jax.random.PRNGKey(0))
+            return float(metrics["loss"]), float(metrics["grad_norm"])
+
+        loss_p, gn_p = one_step(False)
+        loss_r, gn_r = one_step(True)
+        assert np.isfinite(loss_r)
+        np.testing.assert_allclose(loss_r, loss_p, rtol=1e-4)
+        np.testing.assert_allclose(gn_r, gn_p, rtol=1e-3)
+
     def test_two_steps_loss_finite(self, rng):
         cfg = small_config()
         trainer = Trainer(
