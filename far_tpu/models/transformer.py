@@ -107,9 +107,20 @@ class LoFTREncoderLayer(nn.Module):
 
         dt = self.dtype
         dense = lambda a, w: a.astype(dt) @ w.astype(dt)
-        q = dense(x, wq).reshape(B, L, self.nhead, dim)
-        k = dense(source, wk).reshape(B, -1, self.nhead, dim)
-        v = dense(source, wv).reshape(B, -1, self.nhead, dim)
+        # fuse the projections into one wide matmul (same params, same
+        # math): x and source each make one pass instead of three — at
+        # the fine shapes (204800 x 128 rows) the three narrow matmuls
+        # are bandwidth-bound on re-reading the tokens
+        if x is source:
+            qkv = dense(x, jnp.concatenate([wq, wk, wv], axis=1))
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(x, wq)
+            kv = dense(source, jnp.concatenate([wk, wv], axis=1))
+            k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(B, L, self.nhead, dim)
+        k = k.reshape(B, -1, self.nhead, dim)
+        v = v.reshape(B, -1, self.nhead, dim)
         attn = linear_attention if self.attention == "linear" \
             else full_attention
         message = attn(q, k, v, q_mask=x_mask, kv_mask=source_mask)
