@@ -278,9 +278,23 @@ def _eval_vitess(args):
     for bi, (batch, meta) in enumerate(loader):
         if args.max_batches and bi >= args.max_batches:
             break
-        _, R, _, _ = fn(variables, batch.images,
-                        batch.solver_rt, batch.solver_num_corr)
-        R = np.asarray(R, np.float32)
+        # production eval decodes the (un-normalized) 6d prediction with
+        # the ROW convention (test_streetlearn_interiornet.py:278-283,
+        # the losson6d + use_normalized_6d flag set) — NOT the model's
+        # RotationContinuity column-convention matrix output, which the
+        # reference also returns but only uses when losson6d is off
+        _, R_col, pred_9d, _ = fn(variables, batch.images,
+                                  batch.solver_rt, batch.solver_num_corr)
+        if cfg.use_normalized_6d:
+            from far_tpu.geometry.rotations import rotation_6d_to_matrix
+            from far_tpu.models.vitess import VITESS_POSE_STATS
+
+            mean, std = VITESS_POSE_STATS[cfg.dataset]
+            un = np.asarray(pred_9d, np.float32) * std + mean
+            R = np.asarray(rotation_6d_to_matrix(
+                jnp.asarray(un[..., 3:])), np.float32)
+        else:
+            R = np.asarray(R_col, np.float32)
         T = np.asarray(batch.T_0to1)
         for b in range(R.shape[0]):
             acc["identifiers"].append("#".join(meta["pair_names"][b]))
