@@ -1,0 +1,135 @@
+# scratch: one-process TPU measurement session (delete before commit)
+# Runs everything sequentially in a single claim: fine-stage timing,
+# e2e bench, train throughput (B=8 plain, B=16 remat).
+import sys
+import time
+
+t0 = time.time()
+log = lambda *a: (print(f"[{time.time() - t0:7.1f}s]", *a), sys.stdout.flush())
+
+log("claiming TPU (may block while the pool lease is wedged)...")
+import jax
+
+log("devices:", jax.devices())
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------- fine-stage timing ----------------------------------
+from far_tpu.models.fine import FineMatching, FinePreprocess
+from far_tpu.utils.config import FARConfig
+
+cfg = FARConfig(dtype="bfloat16")
+B = 16
+K = cfg.match.max_matches
+hc, wc = cfg.coarse_hw
+Hf = cfg.image_size[0] // cfg.backbone.resolution[1]
+Wf = cfg.image_size[1] // cfg.backbone.resolution[1]
+Cf = cfg.fine.d_model
+Cc = cfg.coarse.d_model
+stride = cfg.backbone.resolution[0] // cfg.backbone.resolution[1]
+log(f"fine shapes: B={B} K={K} {Hf}x{Wf}x{Cf} stride={stride}")
+
+key = jax.random.PRNGKey(0)
+dt = jnp.bfloat16
+mk_img = lambda i: jax.random.normal(jax.random.fold_in(key, 100 + i),
+                                     (B, Hf, Wf, Cf), dt)
+feat_f1 = jax.random.normal(jax.random.fold_in(key, 1), (B, Hf, Wf, Cf), dt)
+feat_c0 = jax.random.normal(jax.random.fold_in(key, 2), (B, hc * wc, Cc), dt)
+feat_c1 = jax.random.normal(jax.random.fold_in(key, 3), (B, hc * wc, Cc), dt)
+i_ids = jax.random.randint(jax.random.fold_in(key, 4), (B, K), 0, hc * wc)
+j_ids = jax.random.randint(jax.random.fold_in(key, 5), (B, K), 0, hc * wc)
+
+pre = FinePreprocess(cfg.fine, d_model_c=Cc, dtype=dt)
+match = FineMatching(cfg.fine, dtype=dt)
+imgs = [mk_img(i) for i in range(4)]
+pvars = jax.jit(functools.partial(
+    pre.init, coarse_hw=(hc, wc), stride=stride))(
+    key, imgs[0], feat_f1, feat_c0, feat_c1, i_ids, j_ids)
+log("pre.init done")
+
+pre_fn = jax.jit(lambda f: pre.apply(
+    pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc), stride))
+f0, f1 = jax.block_until_ready(pre_fn(imgs[0]))
+log("pre_fn compiled")
+mvars = jax.jit(match.init)(key, f0, f1)
+match_fn = jax.jit(lambda a, b: match.apply(mvars, a, b))
+wins = [jax.block_until_ready(pre_fn(im)) for im in imgs[:2]]
+jax.block_until_ready(match_fn(*wins[0]))
+log("match_fn compiled")
+full_fn = jax.jit(lambda f: match.apply(mvars, *pre.apply(
+    pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc), stride)))
+jax.block_until_ready(full_fn(imgs[0]))
+log("full_fn compiled")
+
+
+def run(tag, fn, inputs, iters=20):
+    jax.block_until_ready(fn(*inputs[0]))
+    t = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        outs.append(fn(*inputs[i % len(inputs)]))
+    jax.block_until_ready(outs[-1])
+    log(f"{tag:30s} {(time.perf_counter() - t) / iters * 1e3:7.2f} ms")
+
+
+run("fine gather+merge", pre_fn, [(im,) for im in imgs])
+run("fine transformer+softargmax", match_fn, wins)
+run("fine full stage", full_fn, [(im,) for im in imgs])
+
+# ---------------- e2e bench ------------------------------------------
+log("e2e bench...")
+import bench
+
+sys.argv = ["bench.py"]
+bench.main()
+log("bench done")
+
+# ---------------- train throughput: B=16 with remat ------------------
+log("train B=16 remat...")
+import dataclasses
+
+from far_tpu.train.optim import OptimConfig
+from far_tpu.train.trainer import Trainer
+from far_tpu.types import PairBatch
+
+for tag, tb, rm in [("B16_remat", 16, True), ("B8_remat", 8, True)]:
+    try:
+        tcfg = FARConfig(dtype="bfloat16", remat=rm)
+        trainer = Trainer(tcfg, OptimConfig(lr=1e-4, warmup_steps=0,
+                                            scheduler="none"))
+        state = trainer.init(seed=0, batch_size=tb)
+        H, W = tcfg.image_size
+        Km = jnp.tile(jnp.asarray(np.array(
+            [[517.97, 0, 320.0], [0, 517.97, 240.0], [0, 0, 1]],
+            np.float32))[None], (tb, 1, 1))
+        T = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (tb, 1, 1))
+
+        def mk_batch(k):
+            k0, k1 = jax.random.split(k)
+            return PairBatch(
+                image0=jax.random.uniform(k0, (tb, H, W, 1), jnp.float32),
+                image1=jax.random.uniform(k1, (tb, H, W, 1), jnp.float32),
+                K0=Km, K1=Km, T_0to1=T, T_1to0=T,
+                depth0=jnp.full((tb, H, W), 2.0, jnp.float32),
+                depth1=jnp.full((tb, H, W), 2.0, jnp.float32))
+
+        base = jax.random.PRNGKey(9)
+        state, m = trainer.step(state, mk_batch(base), base)
+        log(tag, "compiled, loss", float(m["loss"]))
+        keys = [jax.random.fold_in(base, i + 1) for i in range(5)]
+        batches = jax.block_until_ready([mk_batch(k) for k in keys])
+        t = time.perf_counter()
+        for i in range(5):
+            state, m = trainer.step(state, batches[i], keys[i])
+        loss = float(m["loss"])
+        sps = 5 / (time.perf_counter() - t)
+        log(f"{tag}: {sps:.3f} steps/s = {sps * tb:.1f} pairs/s "
+            f"(loss {loss:.3f})")
+        del trainer, state
+    except Exception as e:
+        log(tag, "FAILED:", type(e).__name__, str(e)[:200])
+
+log("ALL DONE")

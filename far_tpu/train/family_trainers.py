@@ -257,7 +257,9 @@ class SixDRegTrainer(_SpmdTrainer):
         self.cfg = cfg
         self.model = MapfreeRegression(cfg)
         self.rot_loss, self.trans_loss, self.lam = rot_loss, trans_loss, lam
-        self.solver_cfg = SolverConfig(solver="ransac", pixel_thr=pixel_thr)
+        # the reference solves with cv2.USAC_MAGSAC here (pose_solver.py:83)
+        self.solver_cfg = SolverConfig(solver="ransac", pixel_thr=pixel_thr,
+                                       scoring="magsac")
         super().__init__(build_optimizer(optim_cfg), devices)
 
     def init(self, seed: int = 0, batch_size: int = 1,
