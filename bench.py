@@ -226,8 +226,9 @@ def main():
     rot_med = float(np.median(r_err))
 
     cores = os.cpu_count() or 1
-    host_io = host_io_rate()
-    host_cores_needed = float(np.ceil(pairs_per_sec / (host_io / cores)))
+    host_io, io_workers = host_io_rate()
+    # scale by the decode threads actually used, not the host's cores
+    host_cores_needed = float(np.ceil(pairs_per_sec / (host_io / io_workers)))
 
     out = {
         "metric": "far_e2e_pairs_per_sec_per_chip",
@@ -345,7 +346,7 @@ def host_io_rate(n_pairs: int = 128, B: int = 16, workers: int = 0,
     t0 = time.perf_counter()
     n = sum(b.image0.shape[0] for b in loader)
     dt = time.perf_counter() - t0
-    return n / dt
+    return n / dt, workers
 
 
 def train_throughput(B: int = 8, iters: int = 5):
