@@ -10,3 +10,4 @@ from far_tpu.eval.metrics import (
     a_metrics,
     MetricsAccumulator,
 )
+from far_tpu.eval import localize  # noqa: F401  (visloc-relapose eval)
