@@ -379,14 +379,19 @@ class _PairArrays:
 
 def _angles_deg(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Angle (deg) between broadcastable stacks of 3-vectors, with the
-    reference's 4-decimal rounding; zero-length a -> 0 error."""
+    reference's 4-decimal rounding.  Degenerate inputs (zero-length or
+    non-finite vectors) score +inf, i.e. outlier: the reference's
+    find_inliers runs with RuntimeWarnings promoted to errors
+    (localize.py:708-725), which leaves err at its inf initializer for
+    exactly these cases — unlike its public cal_vec_angle_error, which
+    maps them to 0."""
     na = np.linalg.norm(a, axis=-1, keepdims=True)
     nb = np.linalg.norm(b, axis=-1, keepdims=True)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = np.sum((a / na) * (b / nb), axis=-1)
     d = np.around(d, 4)
     err = np.degrees(np.arccos(np.clip(d, -1.0, 1.0)))
-    return np.where(np.isnan(err), 0.0, err)
+    return np.where(np.isnan(err), np.inf, err)
 
 
 def _score_hypotheses(q_h: np.ndarray, c_h: np.ndarray, arr: _PairArrays,
@@ -821,7 +826,11 @@ def eval_pipeline_with_ransac(result_dict: Dict, ransac_thres,
         avg_err = tuple(np.mean(avg_err, axis=0))
         avg_pass = (tuple(np.mean(avg_pass_l, axis=0))
                     if len(err_thres) > 1 else tuple(avg_pass_l))
-        if best_abs_err is None or best_abs_err[0] < avg_err[2]:
+        # the reference's running-best tracker (localize.py:149-153) has
+        # an inverted comparison and is marked "not used"; since this
+        # port documents the return as the best sweep point, track the
+        # actual minimum abs-translation median
+        if best_abs_err is None or avg_err[2] < best_abs_err[0]:
             best_abs_err = (avg_err[2], avg_err[4])
         log.info("Avg: Rela:(t%.2fdeg, r%.2fdeg) Abs:(t%.2fm/%.2fdeg, "
                  "r%.2fdeg)", *avg_err)

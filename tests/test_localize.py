@@ -264,6 +264,32 @@ def test_ransac_failure_and_approximation_paths():
     assert med[2] >= 1.0         # dominated by the 1000 m sentinel
 
 
+def test_degenerate_pair_scores_as_outlier():
+    """A pair with a zero predicted translation (NaN angle) must be an
+    outlier, matching the reference's warnings-as-errors behavior in
+    find_inliers — not a perfect inlier."""
+    scene = make_scene(seed=8, k=5)
+    pairs = build_pairs(scene, "relapose", fl)["q0"]["test_pairs"]
+    pairs[0].rela_pose_pred.t = np.zeros(3)
+    hypo = fl.AbsPose(fl.matrices_to_quats(scene["r_q"]),
+                      scene["c_q"] + 0.01)
+    inl = fl.find_inliers(hypo, pairs, 10.0, pair_type="relapose")
+    assert 0 not in inl
+    assert set(inl) == {1, 2, 3, 4}
+
+
+def test_ransac_sweep_returns_best_threshold():
+    scene = make_scene(seed=9, k=6, rot_noise_deg=1.0, t_noise_frac=0.02)
+    result_dict = {"s": {"pair_data": build_pairs(scene, "relapose", fl)}}
+    # 0.05 deg starves the solver into the approximation fallback; the
+    # tracker must return the good sweep point, not the last/worst one
+    best, _ = fl.eval_pipeline_with_ransac(
+        result_dict, ransac_thres=[10.0, 0.05], ransac_iter=0,
+        ransac_miu=1.414, pair_type="relapose",
+        err_thres=[(0.25, 2), (0.5, 5)])
+    assert best[0] < 0.5
+
+
 def test_direct_metric_pipeline(tmp_path):
     result_dict = {}
     for s in range(2):
