@@ -114,3 +114,65 @@ class TestFarPipeline:
         batch = make_batch(rng, cfg, B=1)
         out = model.apply(variables, batch, method="match", mutable=False)
         assert out.matches.mkpts0_f.shape[0] == 1
+
+
+class TestTinyWindowAttention:
+    """The MXU-batched tiny-window branch of linear_attention (head-block
+    masked full-C matmuls, attention.py:53-76) must agree with the
+    general einsum path in values and gradients."""
+
+    def _general(self, q, k, v, eps=1e-6):
+        from far_tpu.models.attention import elu_feature_map
+
+        Q, K = elu_feature_map(q), elu_feature_map(k)
+        vl = v.shape[1]
+        vn = v / vl
+        KV = jnp.einsum("nshd,nshv->nhdv", K, vn)
+        Z = 1.0 / (jnp.einsum("nlhd,nhd->nlh", Q, K.sum(axis=1)) + eps)
+        return jnp.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * vl
+
+    @pytest.mark.parametrize("l,s", [(25, 25), (25, 9), (1, 32)])
+    def test_matches_general_path(self, rng, l, s):
+        from far_tpu.models.attention import linear_attention
+
+        n, h, d = 6, 8, 16
+        q = jnp.asarray(rng.normal(size=(n, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(n, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(n, s, h, d)), jnp.float32)
+        assert l <= 32 and s <= 32  # the tiny-branch trigger
+        out = linear_attention(q, k, v)
+        ref = self._general(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_gradients_match_general_path(self, rng):
+        from far_tpu.models.attention import linear_attention
+
+        n, l, h, d = 2, 25, 4, 8
+        q = jnp.asarray(rng.normal(size=(n, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(n, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(n, l, h, d)), jnp.float32)
+        g_tiny = jax.grad(lambda *a: jnp.sum(linear_attention(*a) ** 2),
+                          argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(lambda *a: jnp.sum(self._general(*a) ** 2),
+                         argnums=(0, 1, 2))(q, k, v)
+        for gt, gr in zip(g_tiny, g_ref):
+            np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_masked_windows(self, rng):
+        """kv/q masks are applied before the branch; a masked-out tail
+        must not change the unmasked rows' output."""
+        from far_tpu.models.attention import linear_attention
+
+        n, l, h, d = 3, 25, 4, 8
+        q = jnp.asarray(rng.normal(size=(n, l, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(n, l, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(n, l, h, d)), jnp.float32)
+        kv_mask = jnp.ones((n, l), bool).at[:, 20:].set(False)
+        out_masked = linear_attention(q, k, v, kv_mask=kv_mask)
+        out_trunc = linear_attention(q, k[:, :20], v[:, :20])
+        # v_length normalization cancels; only the K/V support matters
+        np.testing.assert_allclose(np.asarray(out_masked),
+                                   np.asarray(out_trunc),
+                                   atol=1e-5, rtol=1e-5)
