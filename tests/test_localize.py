@@ -226,6 +226,41 @@ def test_ransac_matches_reference(ref, pair_type):
     np.testing.assert_allclose(med0, med1, atol=5e-3)
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("pair_type", ["relapose", "ess"])
+def test_ransac_matches_reference_randomized(ref, pair_type):
+    """Wider randomized sweep: many seeds, small k, outlier-heavy and
+    near-clean scenes, all compared query-by-query (in_iter=0 keeps both
+    implementations deterministic)."""
+    cases = [
+        dict(k=2, rot_noise_deg=0.5, t_noise_frac=0.01, n_outliers=0),
+        dict(k=3, rot_noise_deg=1.0, t_noise_frac=0.02, n_outliers=1),
+        dict(k=5, rot_noise_deg=4.0, t_noise_frac=0.08, n_outliers=2),
+        dict(k=8, rot_noise_deg=2.0, t_noise_frac=0.04, n_outliers=4),
+        dict(k=10, rot_noise_deg=0.0, t_noise_frac=0.0, n_outliers=0),
+    ]
+    for case_i, case in enumerate(cases):
+        for s in range(6):
+            seed = 1000 + 100 * case_i + s
+            scene = make_scene(seed=seed, pair_type=pair_type, **case)
+            ours = build_pairs(scene, pair_type, fl)
+            theirs = build_pairs(scene, pair_type, ref)
+            loc_o, loc_r = {}, {}
+            ro = fl.ransac({"q": ours["q0"]}, 10.0, in_iter=0,
+                           pair_type=pair_type, loc_results=loc_o)
+            rr = ref.ransac({"q": theirs["q0"]}, 10.0, in_iter=0,
+                            pair_type=pair_type, loc_results=loc_r)
+            ctx = f"{pair_type} case={case} seed={seed}"
+            assert list(ro[1]) == list(rr[1]), ctx  # approximated queries
+            np.testing.assert_allclose(ro[2], rr[2], err_msg=ctx)
+            np.testing.assert_allclose(ro[3], rr[3], atol=1e-2,
+                                       err_msg=ctx)
+            if loc_o["q"] is not None:
+                np.testing.assert_allclose(
+                    loc_o["q"]["abs_pose_pred"].c,
+                    loc_r["q"]["abs_pose_pred"].c, atol=1e-4, err_msg=ctx)
+
+
 # ------------------------------------------------------------------ #
 # behavior on synthetic scenes
 # ------------------------------------------------------------------ #
