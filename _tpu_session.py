@@ -79,6 +79,84 @@ run("fine gather+merge", pre_fn, [(im,) for im in imgs])
 run("fine transformer+softargmax", match_fn, wins)
 run("fine full stage", full_fn, [(im,) for im in imgs])
 
+# micro-splits: locate the gather/merge and attention/glue boundaries
+from far_tpu.models.attention import linear_attention
+from far_tpu.models.fine import gather_windows
+
+W = cfg.fine.window_size
+gath_fn = jax.jit(lambda f: gather_windows(f, i_ids, (hc, wc), stride, W))
+jax.block_until_ready(gath_fn(imgs[0]))
+run("gather only (1 side)", gath_fn, [(im,) for im in imgs])
+
+# fine transformer with batched self layers (same params; flag only)
+from far_tpu.models.transformer import LocalFeatureTransformer
+
+lft_b = LocalFeatureTransformer(
+    d_model=cfg.fine.d_model, nhead=cfg.fine.nhead,
+    layer_names=tuple(cfg.fine.layer_names), attention=cfg.fine.attention,
+    dtype=dt, batch_self=True)
+lft_vars = {"params": mvars["params"]["loftr_fine"]}
+WWf = cfg.fine.window_size ** 2
+lftb_fn = jax.jit(lambda a, b: lft_b.apply(
+    lft_vars, a.reshape(-1, WWf, Cf), b.reshape(-1, WWf, Cf)))
+jax.block_until_ready(lftb_fn(*wins[0]))
+run("fine transformer batched-self", lftb_fn, wins)
+lft_s = LocalFeatureTransformer(
+    d_model=cfg.fine.d_model, nhead=cfg.fine.nhead,
+    layer_names=tuple(cfg.fine.layer_names), attention=cfg.fine.attention,
+    dtype=dt, batch_self=False)
+lfts_fn = jax.jit(lambda a, b: lft_s.apply(
+    lft_vars, a.reshape(-1, WWf, Cf), b.reshape(-1, WWf, Cf)))
+jax.block_until_ready(lfts_fn(*wins[0]))
+run("fine transformer sequential", lfts_fn, wins)
+
+
+def gather_windows_dense(feat_f, ids, coarse_hw, stride, window):
+    # pre-dfdd626 variant: materialize ALL windows (s2d slices, 25x
+    # stack write) then one big-row gather; A/B vs the sparse
+    # per-offset gather now in the library
+    Bq, Hf_, Wf_, C_ = feat_f.shape
+    hc_, wc_ = coarse_hw
+    r_ = window // 2
+    WW_ = window * window
+    fpad = jnp.pad(feat_f, ((0, 0), (r_, r_), (r_, r_), (0, 0)))
+    Hp, Wp = Hf_ + 2 * r_, Wf_ + 2 * r_
+    ph, pw = (-Hp) % stride, (-Wp) % stride
+    if ph or pw:
+        fpad = jnp.pad(fpad, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        Hp, Wp = Hp + ph, Wp + pw
+    f2 = fpad.reshape(Bq, Hp // stride, stride, Wp // stride, stride,
+                      C_).transpose(0, 1, 3, 2, 4, 5)
+    slices = [
+        f2[:, dy // stride: dy // stride + hc_,
+           dx // stride: dx // stride + wc_, dy % stride, dx % stride, :]
+        for dy in range(window) for dx in range(window)
+    ]
+    allw = jnp.stack(slices, axis=3)
+    flat = allw.reshape(Bq, hc_ * wc_, WW_ * C_)
+    out = jnp.take_along_axis(flat, ids[..., None], axis=1)
+    return out.reshape(Bq, ids.shape[1], WW_, C_)
+
+
+dense_fn = jax.jit(
+    lambda f: gather_windows_dense(f, i_ids, (hc, wc), stride, W))
+jax.block_until_ready(dense_fn(imgs[0]))
+run("gather dense-allwindows (1 side)", dense_fn, [(im,) for im in imgs])
+
+h = cfg.fine.nhead
+d = Cf // h
+WW = W * W
+qkv = [jax.random.normal(jax.random.fold_in(key, 300 + i),
+                         (B * K, WW, h, d), dt) for i in range(6)]
+att_fn = jax.jit(lambda q, k, v: linear_attention(q, k, v))
+jax.block_until_ready(att_fn(*qkv[:3]))
+run("tiny-window attention (4x)", jax.jit(
+    lambda q, k, v: (linear_attention(q, k, v),
+                     linear_attention(k, q, v),
+                     linear_attention(v, q, k),
+                     linear_attention(q, v, k))),
+    [tuple(qkv[:3]), tuple(qkv[3:])])
+
 # ---------------- e2e bench ------------------------------------------
 log("e2e bench...")
 import bench
