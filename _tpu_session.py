@@ -111,6 +111,25 @@ jax.block_until_ready(lfts_fn(*wins[0]))
 run("fine transformer sequential", lfts_fn, wins)
 
 
+# coarse stack batched-self A/B (fused Pallas path, L=4800)
+lftc_s = LocalFeatureTransformer(
+    d_model=Cc, nhead=cfg.coarse.nhead,
+    layer_names=tuple(cfg.coarse.layer_names),
+    attention=cfg.coarse.attention, dtype=dt, batch_self=False)
+lftc_b = LocalFeatureTransformer(
+    d_model=Cc, nhead=cfg.coarse.nhead,
+    layer_names=tuple(cfg.coarse.layer_names),
+    attention=cfg.coarse.attention, dtype=dt, batch_self=True)
+cvars = jax.jit(lftc_s.init)(key, feat_c0, feat_c1)
+cs_fn = jax.jit(lambda a, b: lftc_s.apply(cvars, a, b))
+cb_fn = jax.jit(lambda a, b: lftc_b.apply(cvars, a, b))
+jax.block_until_ready(cs_fn(feat_c0, feat_c1))
+jax.block_until_ready(cb_fn(feat_c0, feat_c1))
+cpairs = [(feat_c0, feat_c1), (feat_c1, feat_c0)]
+run("coarse stack sequential", cs_fn, cpairs)
+run("coarse stack batched-self", cb_fn, cpairs)
+
+
 def gather_windows_dense(feat_f, ids, coarse_hw, stride, window):
     # pre-dfdd626 variant: materialize ALL windows (s2d slices, 25x
     # stack write) then one big-row gather; A/B vs the sparse

@@ -190,6 +190,7 @@ class FineMatching(nn.Module):
             layer_names=tuple(self.cfg.layer_names),
             attention=self.cfg.attention,
             dtype=self.dtype,
+            batch_self=self.cfg.batch_self,
             name="loftr_fine",
         )
         f0t, f1t = ft(f0.reshape(B * K, WW, C), f1.reshape(B * K, WW, C))

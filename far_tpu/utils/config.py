@@ -27,6 +27,9 @@ class AttentionStackConfig:
     layer_names: Tuple[str, ...] = ("self", "cross") * 4
     attention: str = "linear"  # 'linear' | 'full'
     temp_bug_fix: bool = True
+    # run both directions of each self layer as one doubled batch
+    # (identical math; see LocalFeatureTransformer.batch_self)
+    batch_self: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +54,7 @@ class FineConfig:
     attention: str = "linear"
     window_size: int = 5
     concat_coarse_feat: bool = True
+    batch_self: bool = False  # see AttentionStackConfig.batch_self
 
 
 @dataclasses.dataclass(frozen=True)
