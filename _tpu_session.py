@@ -162,6 +162,25 @@ dense_fn = jax.jit(
 jax.block_until_ready(dense_fn(imgs[0]))
 run("gather dense-allwindows (1 side)", dense_fn, [(im,) for im in imgs])
 
+from far_tpu.ops.window_gather import gather_windows_vmem
+
+vmem_fn = jax.jit(
+    lambda f: gather_windows_vmem(f, i_ids, (hc, wc), stride, W))
+jax.block_until_ready(vmem_fn(imgs[0]))
+run("gather vmem-pallas (1 side)", vmem_fn, [(im,) for im in imgs])
+
+# candidate production fine stage: vmem gather + batched self
+import dataclasses as _dc
+
+cfg_c = _dc.replace(cfg, fine=_dc.replace(cfg.fine, gather="vmem",
+                                          batch_self=True))
+pre_c = FinePreprocess(cfg_c.fine, d_model_c=Cc, dtype=dt)
+match_c = FineMatching(cfg_c.fine, dtype=dt)
+full_c_fn = jax.jit(lambda f: match_c.apply(mvars, *pre_c.apply(
+    pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc), stride)))
+jax.block_until_ready(full_c_fn(imgs[0]))
+run("fine full stage (vmem+batch)", full_c_fn, [(im,) for im in imgs])
+
 h = cfg.fine.nhead
 d = Cf // h
 WW = W * W

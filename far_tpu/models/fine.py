@@ -150,8 +150,18 @@ class FinePreprocess(nn.Module):
         stride: int,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         W = self.cfg.window_size
-        f0 = gather_windows(feat_f0, i_ids, coarse_hw, stride, W)  # (B,K,WW,Cf)
-        f1 = gather_windows(feat_f1, j_ids, coarse_hw, stride, W)
+        if self.cfg.gather == "vmem":
+            from far_tpu.ops.window_gather import gather_windows_vmem
+
+            K = i_ids.shape[1]
+            kb = K if K % 128 else 128
+            f0 = gather_windows_vmem(feat_f0, i_ids, coarse_hw, stride, W,
+                                     block_k=kb)
+            f1 = gather_windows_vmem(feat_f1, j_ids, coarse_hw, stride, W,
+                                     block_k=kb)
+        else:
+            f0 = gather_windows(feat_f0, i_ids, coarse_hw, stride, W)
+            f1 = gather_windows(feat_f1, j_ids, coarse_hw, stride, W)
 
         if self.cfg.concat_coarse_feat:
             down = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="down_proj")

@@ -55,6 +55,9 @@ class FineConfig:
     window_size: int = 5
     concat_coarse_feat: bool = True
     batch_self: bool = False  # see AttentionStackConfig.batch_self
+    # window gather backend: 'sparse' (per-offset XLA gathers) or
+    # 'vmem' (Pallas kernel, ops/window_gather.py)
+    gather: str = "sparse"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,3 +25,41 @@ def test_gather_windows_border_zero_pad(rng):
     w = np.asarray(out[0, 0]).reshape(5, 5, C)
     assert (w[:2, :, :] == 0).all() and (w[:, :2, :] == 0).all()
     assert (w[2:, 2:, :] == 1).all()
+
+
+def test_gather_windows_vmem_kernel(rng):
+    """Pallas VMEM gather (ops/window_gather.py) matches the pointwise
+    reference exactly, including border zeros and K blocking."""
+    from far_tpu.ops.window_gather import gather_windows_vmem
+
+    B, Hf, Wf, C = 2, 24, 32, 8
+    hc, wc, stride, W = 6, 8, 4, 5
+    feat = jnp.asarray(rng.normal(size=(B, Hf, Wf, C)), jnp.float32)
+    # include border cells (id 0 and the last cell) deliberately
+    ids = jnp.asarray(rng.integers(0, hc * wc, size=(B, 16)), jnp.int32)
+    ids = ids.at[0, 0].set(0).at[0, 1].set(hc * wc - 1)
+    ref = gather_windows_pointwise(feat, ids, (hc, wc), stride, W)
+    out = gather_windows_vmem(feat, ids, (hc, wc), stride, W, block_k=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_gather_windows_vmem_gradient(rng):
+    """The custom VJP (scatter-add) matches the sparse path's autodiff
+    gradient, including overlapping-window accumulation."""
+    import jax
+
+    from far_tpu.ops.window_gather import gather_windows_vmem
+
+    B, Hf, Wf, C = 2, 12, 16, 4
+    hc, wc, stride, W = 6, 8, 2, 5  # stride < W -> overlapping windows
+    feat = jnp.asarray(rng.normal(size=(B, Hf, Wf, C)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, hc * wc, size=(B, 8)), jnp.int32)
+    cot = jnp.asarray(rng.normal(size=(B, 8, W * W, C)), jnp.float32)
+
+    loss_v = lambda f: jnp.sum(
+        gather_windows_vmem(f, ids, (hc, wc), stride, W, 8) * cot)
+    loss_s = lambda f: jnp.sum(
+        gather_windows(f, ids, (hc, wc), stride, W) * cot)
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_v)(feat)),
+                               np.asarray(jax.grad(loss_s)(feat)),
+                               atol=1e-5)
