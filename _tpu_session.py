@@ -83,51 +83,70 @@ run("fine full stage", full_fn, [(im,) for im in imgs])
 from far_tpu.models.attention import linear_attention
 from far_tpu.models.fine import gather_windows
 
+
+def sect(name, thunk):
+    """Run one experimental section; a Mosaic/compile failure logs and
+    moves on instead of killing the whole claim."""
+    try:
+        thunk()
+    except Exception as e:
+        log(name, "SECTION FAILED:", type(e).__name__, str(e)[:300])
+
+
 W = cfg.fine.window_size
-gath_fn = jax.jit(lambda f: gather_windows(f, i_ids, (hc, wc), stride, W))
-jax.block_until_ready(gath_fn(imgs[0]))
-run("gather only (1 side)", gath_fn, [(im,) for im in imgs])
+
+
+def _gather_only():
+    f = jax.jit(lambda f: gather_windows(f, i_ids, (hc, wc), stride, W))
+    jax.block_until_ready(f(imgs[0]))
+    run("gather only (1 side)", f, [(im,) for im in imgs])
+
+
+sect("gather only", _gather_only)
 
 # fine transformer with batched self layers (same params; flag only)
 from far_tpu.models.transformer import LocalFeatureTransformer
 
-lft_b = LocalFeatureTransformer(
-    d_model=cfg.fine.d_model, nhead=cfg.fine.nhead,
-    layer_names=tuple(cfg.fine.layer_names), attention=cfg.fine.attention,
-    dtype=dt, batch_self=True)
 lft_vars = {"params": mvars["params"]["loftr_fine"]}
 WWf = cfg.fine.window_size ** 2
-lftb_fn = jax.jit(lambda a, b: lft_b.apply(
-    lft_vars, a.reshape(-1, WWf, Cf), b.reshape(-1, WWf, Cf)))
-jax.block_until_ready(lftb_fn(*wins[0]))
-run("fine transformer batched-self", lftb_fn, wins)
-lft_s = LocalFeatureTransformer(
-    d_model=cfg.fine.d_model, nhead=cfg.fine.nhead,
-    layer_names=tuple(cfg.fine.layer_names), attention=cfg.fine.attention,
-    dtype=dt, batch_self=False)
-lfts_fn = jax.jit(lambda a, b: lft_s.apply(
-    lft_vars, a.reshape(-1, WWf, Cf), b.reshape(-1, WWf, Cf)))
-jax.block_until_ready(lfts_fn(*wins[0]))
-run("fine transformer sequential", lfts_fn, wins)
 
 
-# coarse stack batched-self A/B (fused Pallas path, L=4800)
-lftc_s = LocalFeatureTransformer(
-    d_model=Cc, nhead=cfg.coarse.nhead,
-    layer_names=tuple(cfg.coarse.layer_names),
-    attention=cfg.coarse.attention, dtype=dt, batch_self=False)
-lftc_b = LocalFeatureTransformer(
-    d_model=Cc, nhead=cfg.coarse.nhead,
-    layer_names=tuple(cfg.coarse.layer_names),
-    attention=cfg.coarse.attention, dtype=dt, batch_self=True)
-cvars = jax.jit(lftc_s.init)(key, feat_c0, feat_c1)
-cs_fn = jax.jit(lambda a, b: lftc_s.apply(cvars, a, b))
-cb_fn = jax.jit(lambda a, b: lftc_b.apply(cvars, a, b))
-jax.block_until_ready(cs_fn(feat_c0, feat_c1))
-jax.block_until_ready(cb_fn(feat_c0, feat_c1))
-cpairs = [(feat_c0, feat_c1), (feat_c1, feat_c0)]
-run("coarse stack sequential", cs_fn, cpairs)
-run("coarse stack batched-self", cb_fn, cpairs)
+def _lft_ab():
+    for tag, flag in [("batched-self", True), ("sequential", False)]:
+        lft = LocalFeatureTransformer(
+            d_model=cfg.fine.d_model, nhead=cfg.fine.nhead,
+            layer_names=tuple(cfg.fine.layer_names),
+            attention=cfg.fine.attention, dtype=dt, batch_self=flag)
+        fn = jax.jit(lambda a, b, _l=lft: _l.apply(
+            lft_vars, a.reshape(-1, WWf, Cf), b.reshape(-1, WWf, Cf)))
+        jax.block_until_ready(fn(*wins[0]))
+        run(f"fine transformer {tag}", fn, wins)
+
+
+sect("fine lft A/B", _lft_ab)
+
+
+def _coarse_ab():
+    # coarse stack batched-self A/B (fused Pallas path, L=4800)
+    lftc_s = LocalFeatureTransformer(
+        d_model=Cc, nhead=cfg.coarse.nhead,
+        layer_names=tuple(cfg.coarse.layer_names),
+        attention=cfg.coarse.attention, dtype=dt, batch_self=False)
+    lftc_b = LocalFeatureTransformer(
+        d_model=Cc, nhead=cfg.coarse.nhead,
+        layer_names=tuple(cfg.coarse.layer_names),
+        attention=cfg.coarse.attention, dtype=dt, batch_self=True)
+    cvars = jax.jit(lftc_s.init)(key, feat_c0, feat_c1)
+    cs_fn = jax.jit(lambda a, b: lftc_s.apply(cvars, a, b))
+    cb_fn = jax.jit(lambda a, b: lftc_b.apply(cvars, a, b))
+    jax.block_until_ready(cs_fn(feat_c0, feat_c1))
+    jax.block_until_ready(cb_fn(feat_c0, feat_c1))
+    cpairs = [(feat_c0, feat_c1), (feat_c1, feat_c0)]
+    run("coarse stack sequential", cs_fn, cpairs)
+    run("coarse stack batched-self", cb_fn, cpairs)
+
+
+sect("coarse A/B", _coarse_ab)
 
 
 def gather_windows_dense(feat_f, ids, coarse_hw, stride, window):
@@ -157,43 +176,62 @@ def gather_windows_dense(feat_f, ids, coarse_hw, stride, window):
     return out.reshape(Bq, ids.shape[1], WW_, C_)
 
 
-dense_fn = jax.jit(
-    lambda f: gather_windows_dense(f, i_ids, (hc, wc), stride, W))
-jax.block_until_ready(dense_fn(imgs[0]))
-run("gather dense-allwindows (1 side)", dense_fn, [(im,) for im in imgs])
+def _dense_gather():
+    fn = jax.jit(
+        lambda f: gather_windows_dense(f, i_ids, (hc, wc), stride, W))
+    jax.block_until_ready(fn(imgs[0]))
+    run("gather dense-allwindows (1 side)", fn, [(im,) for im in imgs])
 
-from far_tpu.ops.window_gather import gather_windows_vmem
 
-vmem_fn = jax.jit(
-    lambda f: gather_windows_vmem(f, i_ids, (hc, wc), stride, W))
-jax.block_until_ready(vmem_fn(imgs[0]))
-run("gather vmem-pallas (1 side)", vmem_fn, [(im,) for im in imgs])
+sect("dense gather", _dense_gather)
 
-# candidate production fine stage: vmem gather + batched self
-import dataclasses as _dc
 
-cfg_c = _dc.replace(cfg, fine=_dc.replace(cfg.fine, gather="vmem",
-                                          batch_self=True))
-pre_c = FinePreprocess(cfg_c.fine, d_model_c=Cc, dtype=dt)
-match_c = FineMatching(cfg_c.fine, dtype=dt)
-full_c_fn = jax.jit(lambda f: match_c.apply(mvars, *pre_c.apply(
-    pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc), stride)))
-jax.block_until_ready(full_c_fn(imgs[0]))
-run("fine full stage (vmem+batch)", full_c_fn, [(im,) for im in imgs])
+def _vmem_gather():
+    from far_tpu.ops.window_gather import gather_windows_vmem
 
-h = cfg.fine.nhead
-d = Cf // h
-WW = W * W
-qkv = [jax.random.normal(jax.random.fold_in(key, 300 + i),
-                         (B * K, WW, h, d), dt) for i in range(6)]
-att_fn = jax.jit(lambda q, k, v: linear_attention(q, k, v))
-jax.block_until_ready(att_fn(*qkv[:3]))
-run("tiny-window attention (4x)", jax.jit(
-    lambda q, k, v: (linear_attention(q, k, v),
-                     linear_attention(k, q, v),
-                     linear_attention(v, q, k),
-                     linear_attention(q, v, k))),
-    [tuple(qkv[:3]), tuple(qkv[3:])])
+    fn = jax.jit(
+        lambda f: gather_windows_vmem(f, i_ids, (hc, wc), stride, W))
+    jax.block_until_ready(fn(imgs[0]))
+    run("gather vmem-pallas (1 side)", fn, [(im,) for im in imgs])
+
+
+sect("vmem gather", _vmem_gather)
+
+
+def _candidate_full():
+    # candidate production fine stage: vmem gather + batched self
+    import dataclasses as _dc
+
+    cfg_c = _dc.replace(cfg, fine=_dc.replace(cfg.fine, gather="vmem",
+                                              batch_self=True))
+    pre_c = FinePreprocess(cfg_c.fine, d_model_c=Cc, dtype=dt)
+    match_c = FineMatching(cfg_c.fine, dtype=dt)
+    fn = jax.jit(lambda f: match_c.apply(mvars, *pre_c.apply(
+        pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc),
+        stride)))
+    jax.block_until_ready(fn(imgs[0]))
+    run("fine full stage (vmem+batch)", fn, [(im,) for im in imgs])
+
+
+sect("candidate full fine", _candidate_full)
+
+
+def _tiny_attention():
+    h = cfg.fine.nhead
+    d = Cf // h
+    WW = W * W
+    qkv = [jax.random.normal(jax.random.fold_in(key, 300 + i),
+                             (B * K, WW, h, d), dt) for i in range(6)]
+    fn = jax.jit(lambda q, k, v: (linear_attention(q, k, v),
+                                  linear_attention(k, q, v),
+                                  linear_attention(v, q, k),
+                                  linear_attention(q, v, k)))
+    jax.block_until_ready(fn(*qkv[:3]))
+    run("tiny-window attention (4x)", fn,
+        [tuple(qkv[:3]), tuple(qkv[3:])])
+
+
+sect("tiny attention", _tiny_attention)
 
 # ---------------- e2e bench ------------------------------------------
 log("e2e bench...")
