@@ -202,8 +202,8 @@ def _candidate_full():
     # candidate production fine stage: vmem gather + batched self
     import dataclasses as _dc
 
-    cfg_c = _dc.replace(cfg, fine=_dc.replace(cfg.fine, gather="vmem",
-                                              batch_self=True))
+    cfg_c = _dc.replace(cfg, fine=_dc.replace(
+        cfg.fine, gather="vmem", batch_self=True, split_merge=True))
     pre_c = FinePreprocess(cfg_c.fine, d_model_c=Cc, dtype=dt)
     match_c = FineMatching(cfg_c.fine, dtype=dt)
     fn = jax.jit(lambda f: match_c.apply(mvars, *pre_c.apply(

@@ -127,6 +127,32 @@ def gather_windows(
     return out.reshape(B, ids.shape[1], WW, C)
 
 
+class _SplitMerge(nn.Module):
+    """nn.Dense over a [windows || broadcast coarse] concat, computed as
+    a split matmul so the (B, K, WW, 2C) concat (and the WW-fold
+    broadcast of the coarse row) never materializes in HBM:
+
+        merge([f, c]) = f @ W[:C] + (c @ W[C:] + b) per window center.
+
+    Same parameter tree (kernel/bias at the same path, same init) and
+    the same math as the concat form, up to dot accumulation order."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        Cin = f.shape[-1] + c.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (Cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kf = kernel[:f.shape[-1]].astype(self.dtype)
+        kc = kernel[f.shape[-1]:].astype(self.dtype)
+        ctx = c.astype(self.dtype) @ kc + bias.astype(self.dtype)
+        return f.astype(self.dtype) @ kf + ctx[..., None, :]
+
+
 class FinePreprocess(nn.Module):
     """Window gather + optional coarse-context injection.
 
@@ -165,15 +191,26 @@ class FinePreprocess(nn.Module):
 
         if self.cfg.concat_coarse_feat:
             down = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="down_proj")
-            merge = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="merge_feat")
             c0 = jnp.take_along_axis(feat_c0, i_ids[..., None], axis=1)  # (B,K,Cc)
             c1 = jnp.take_along_axis(feat_c1, j_ids[..., None], axis=1)
-            c0 = down(c0)[..., None, :]  # (B, K, 1, Cf)
-            c1 = down(c1)[..., None, :]
-            f0 = merge(jnp.concatenate(
-                [f0, jnp.broadcast_to(c0, f0.shape[:-1] + (self.cfg.d_model,))], -1))
-            f1 = merge(jnp.concatenate(
-                [f1, jnp.broadcast_to(c1, f1.shape[:-1] + (self.cfg.d_model,))], -1))
+            c0 = down(c0)  # (B, K, Cf)
+            c1 = down(c1)
+            if self.cfg.split_merge:
+                merge = _SplitMerge(self.cfg.d_model, dtype=self.dtype,
+                                    name="merge_feat")
+                f0 = merge(f0, c0)
+                f1 = merge(f1, c1)
+            else:
+                merge = nn.Dense(self.cfg.d_model, dtype=self.dtype,
+                                 name="merge_feat")
+                c0b = c0[..., None, :]
+                c1b = c1[..., None, :]
+                f0 = merge(jnp.concatenate(
+                    [f0, jnp.broadcast_to(
+                        c0b, f0.shape[:-1] + (self.cfg.d_model,))], -1))
+                f1 = merge(jnp.concatenate(
+                    [f1, jnp.broadcast_to(
+                        c1b, f1.shape[:-1] + (self.cfg.d_model,))], -1))
         return f0, f1
 
 

@@ -58,6 +58,9 @@ class FineConfig:
     # window gather backend: 'sparse' (per-offset XLA gathers) or
     # 'vmem' (Pallas kernel, ops/window_gather.py)
     gather: str = "sparse"
+    # compute merge([windows || coarse]) as a split matmul (same params,
+    # no (B,K,WW,2C) concat materialization) — see fine._SplitMerge
+    split_merge: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,3 +63,39 @@ def test_gather_windows_vmem_gradient(rng):
     np.testing.assert_allclose(np.asarray(jax.grad(loss_v)(feat)),
                                np.asarray(jax.grad(loss_s)(feat)),
                                atol=1e-5)
+
+
+def test_split_merge_matches_concat(rng):
+    """fine.split_merge computes the identical merge with the identical
+    parameter tree (kernel/bias at merge_feat, same init values)."""
+    import dataclasses
+
+    import jax
+
+    from far_tpu.models.fine import FinePreprocess
+    from far_tpu.utils.config import FineConfig
+
+    cfg = FineConfig(d_model=16, nhead=4)
+    cfg_s = dataclasses.replace(cfg, split_merge=True)
+    B, Hf, Wf, K, Cc = 2, 16, 16, 4, 32
+    hc, wc, stride = 4, 4, 4
+    feat0 = jnp.asarray(rng.normal(size=(B, Hf, Wf, 16)), jnp.float32)
+    feat1 = jnp.asarray(rng.normal(size=(B, Hf, Wf, 16)), jnp.float32)
+    c0 = jnp.asarray(rng.normal(size=(B, hc * wc, Cc)), jnp.float32)
+    c1 = jnp.asarray(rng.normal(size=(B, hc * wc, Cc)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, hc * wc, size=(B, K)), jnp.int32)
+    pre = FinePreprocess(cfg, d_model_c=Cc)
+    pre_s = FinePreprocess(cfg_s, d_model_c=Cc)
+    args = (feat0, feat1, c0, c1, ids, ids, (hc, wc), stride)
+    v0 = pre.init(jax.random.PRNGKey(3), *args)
+    v1 = pre_s.init(jax.random.PRNGKey(3), *args)
+    # identical parameter trees, identical init values
+    assert jax.tree.structure(v0) == jax.tree.structure(v1)
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    o0 = pre.apply(v0, *args)
+    o1 = pre_s.apply(v0, *args)
+    np.testing.assert_allclose(np.asarray(o1[0]), np.asarray(o0[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1[1]), np.asarray(o0[1]),
+                               atol=1e-5)
