@@ -128,11 +128,30 @@ def profile_stages(B: int = 16, iters: int = 10):
     print(f"{'sum of stages':<46} {total:8.2f} {total / B:9.3f}")
 
 
+def _claim_backend_with_retry(attempts: int = 5, wait_s: float = 60.0):
+    """The tunneled dev TPU backend flaps (observed multi-hour
+    UNAVAILABLE windows); give the benchmark a bounded chance to claim
+    a chip instead of failing on the first probe."""
+    import jax
+
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"# backend unavailable (attempt {i + 1}/{attempts}): "
+                  f"{str(e)[:120]}; retrying in {wait_s:.0f}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(wait_s)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
+    _claim_backend_with_retry()
     t_start = time.perf_counter()
     # two jit programs (inference + train) each pay a multi-minute
     # remote compile on the tunneled dev TPU; keep the primary metric
