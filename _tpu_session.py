@@ -1,6 +1,12 @@
 # scratch: one-process TPU measurement session (delete before commit)
 # Runs everything sequentially in a single claim: fine-stage timing,
-# e2e bench, train throughput (B=8 plain, B=16 remat).
+# e2e bench, train throughput.
+#
+# IMPORTANT (this host): the axon tunnel proxies XLA compilation over
+# HTTP with a body-size cap — any large array captured by a jitted
+# closure is embedded into the serialized program and trips HTTP 413.
+# Every jitted function below therefore takes ALL device arrays as
+# call-time arguments; only Python scalars/shapes are closed over.
 import sys
 import time
 
@@ -50,18 +56,33 @@ pvars = jax.jit(functools.partial(
     key, imgs[0], feat_f1, feat_c0, feat_c1, i_ids, j_ids)
 log("pre.init done")
 
-pre_fn = jax.jit(lambda f: pre.apply(
-    pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc), stride))
-f0, f1 = jax.block_until_ready(pre_fn(imgs[0]))
+
+def _pre(pv, f, f1, c0, c1, ii, jj):
+    return pre.apply(pv, f, f1, c0, c1, ii, jj, (hc, wc), stride)
+
+
+pre_fn = jax.jit(_pre)
+PRE_ARGS = (pvars, feat_f1, feat_c0, feat_c1, i_ids, j_ids)
+f0w, f1w = jax.block_until_ready(
+    pre_fn(pvars, imgs[0], feat_f1, feat_c0, feat_c1, i_ids, j_ids))
 log("pre_fn compiled")
-mvars = jax.jit(match.init)(key, f0, f1)
-match_fn = jax.jit(lambda a, b: match.apply(mvars, a, b))
-wins = [jax.block_until_ready(pre_fn(im)) for im in imgs[:2]]
-jax.block_until_ready(match_fn(*wins[0]))
+mvars = jax.jit(match.init)(key, f0w, f1w)
+match_fn = jax.jit(lambda mv, a, b: match.apply(mv, a, b))
+wins = [jax.block_until_ready(
+    pre_fn(pvars, im, feat_f1, feat_c0, feat_c1, i_ids, j_ids))
+    for im in imgs[:2]]
+jax.block_until_ready(match_fn(mvars, *wins[0]))
 log("match_fn compiled")
-full_fn = jax.jit(lambda f: match.apply(mvars, *pre.apply(
-    pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc), stride)))
-jax.block_until_ready(full_fn(imgs[0]))
+
+
+def _full(pv, mv, f, f1, c0, c1, ii, jj):
+    return match.apply(mv, *pre.apply(pv, f, f1, c0, c1, ii, jj,
+                                      (hc, wc), stride))
+
+
+full_fn = jax.jit(_full)
+jax.block_until_ready(
+    full_fn(pvars, mvars, imgs[0], feat_f1, feat_c0, feat_c1, i_ids, j_ids))
 log("full_fn compiled")
 
 
@@ -75,9 +96,12 @@ def run(tag, fn, inputs, iters=20):
     log(f"{tag:30s} {(time.perf_counter() - t) / iters * 1e3:7.2f} ms")
 
 
-run("fine gather+merge", pre_fn, [(im,) for im in imgs])
-run("fine transformer+softargmax", match_fn, wins)
-run("fine full stage", full_fn, [(im,) for im in imgs])
+run("fine gather+merge", pre_fn,
+    [(pvars, im) + PRE_ARGS[1:] for im in imgs])
+run("fine transformer+softargmax", match_fn,
+    [(mvars,) + w for w in wins])
+run("fine full stage", full_fn,
+    [(pvars, mvars, im) + PRE_ARGS[1:] for im in imgs])
 
 # micro-splits: locate the gather/merge and attention/glue boundaries
 from far_tpu.models.attention import linear_attention
@@ -97,9 +121,9 @@ W = cfg.fine.window_size
 
 
 def _gather_only():
-    f = jax.jit(lambda f: gather_windows(f, i_ids, (hc, wc), stride, W))
-    jax.block_until_ready(f(imgs[0]))
-    run("gather only (1 side)", f, [(im,) for im in imgs])
+    f = jax.jit(lambda ff, ii: gather_windows(ff, ii, (hc, wc), stride, W))
+    jax.block_until_ready(f(imgs[0], i_ids))
+    run("gather only (1 side)", f, [(im, i_ids) for im in imgs])
 
 
 sect("gather only", _gather_only)
@@ -117,10 +141,15 @@ def _lft_ab():
             d_model=cfg.fine.d_model, nhead=cfg.fine.nhead,
             layer_names=tuple(cfg.fine.layer_names),
             attention=cfg.fine.attention, dtype=dt, batch_self=flag)
-        fn = jax.jit(lambda a, b, _l=lft: _l.apply(
-            lft_vars, a.reshape(-1, WWf, Cf), b.reshape(-1, WWf, Cf)))
-        jax.block_until_ready(fn(*wins[0]))
-        run(f"fine transformer {tag}", fn, wins)
+
+        def fn(lv, a, b, _l=lft):
+            return _l.apply(lv, a.reshape(-1, WWf, Cf),
+                            b.reshape(-1, WWf, Cf))
+
+        jfn = jax.jit(fn)
+        jax.block_until_ready(jfn(lft_vars, *wins[0]))
+        run(f"fine transformer {tag}", jfn,
+            [(lft_vars,) + w for w in wins])
 
 
 sect("fine lft A/B", _lft_ab)
@@ -137,11 +166,11 @@ def _coarse_ab():
         layer_names=tuple(cfg.coarse.layer_names),
         attention=cfg.coarse.attention, dtype=dt, batch_self=True)
     cvars = jax.jit(lftc_s.init)(key, feat_c0, feat_c1)
-    cs_fn = jax.jit(lambda a, b: lftc_s.apply(cvars, a, b))
-    cb_fn = jax.jit(lambda a, b: lftc_b.apply(cvars, a, b))
-    jax.block_until_ready(cs_fn(feat_c0, feat_c1))
-    jax.block_until_ready(cb_fn(feat_c0, feat_c1))
-    cpairs = [(feat_c0, feat_c1), (feat_c1, feat_c0)]
+    cs_fn = jax.jit(lambda cv, a, b: lftc_s.apply(cv, a, b))
+    cb_fn = jax.jit(lambda cv, a, b: lftc_b.apply(cv, a, b))
+    jax.block_until_ready(cs_fn(cvars, feat_c0, feat_c1))
+    jax.block_until_ready(cb_fn(cvars, feat_c0, feat_c1))
+    cpairs = [(cvars, feat_c0, feat_c1), (cvars, feat_c1, feat_c0)]
     run("coarse stack sequential", cs_fn, cpairs)
     run("coarse stack batched-self", cb_fn, cpairs)
 
@@ -178,9 +207,9 @@ def gather_windows_dense(feat_f, ids, coarse_hw, stride, window):
 
 def _dense_gather():
     fn = jax.jit(
-        lambda f: gather_windows_dense(f, i_ids, (hc, wc), stride, W))
-    jax.block_until_ready(fn(imgs[0]))
-    run("gather dense-allwindows (1 side)", fn, [(im,) for im in imgs])
+        lambda ff, ii: gather_windows_dense(ff, ii, (hc, wc), stride, W))
+    jax.block_until_ready(fn(imgs[0], i_ids))
+    run("gather dense-allwindows (1 side)", fn, [(im, i_ids) for im in imgs])
 
 
 sect("dense gather", _dense_gather)
@@ -190,9 +219,9 @@ def _vmem_gather():
     from far_tpu.ops.window_gather import gather_windows_vmem
 
     fn = jax.jit(
-        lambda f: gather_windows_vmem(f, i_ids, (hc, wc), stride, W))
-    jax.block_until_ready(fn(imgs[0]))
-    run("gather vmem-pallas (1 side)", fn, [(im,) for im in imgs])
+        lambda ff, ii: gather_windows_vmem(ff, ii, (hc, wc), stride, W))
+    jax.block_until_ready(fn(imgs[0], i_ids))
+    run("gather vmem-pallas (1 side)", fn, [(im, i_ids) for im in imgs])
 
 
 sect("vmem gather", _vmem_gather)
@@ -206,11 +235,16 @@ def _candidate_full():
         cfg.fine, gather="vmem", batch_self=True, split_merge=True))
     pre_c = FinePreprocess(cfg_c.fine, d_model_c=Cc, dtype=dt)
     match_c = FineMatching(cfg_c.fine, dtype=dt)
-    fn = jax.jit(lambda f: match_c.apply(mvars, *pre_c.apply(
-        pvars, f, feat_f1, feat_c0, feat_c1, i_ids, j_ids, (hc, wc),
-        stride)))
-    jax.block_until_ready(fn(imgs[0]))
-    run("fine full stage (vmem+batch)", fn, [(im,) for im in imgs])
+
+    def fn(pv, mv, f, f1, c0, c1, ii, jj):
+        return match_c.apply(mv, *pre_c.apply(
+            pv, f, f1, c0, c1, ii, jj, (hc, wc), stride))
+
+    jfn = jax.jit(fn)
+    jax.block_until_ready(
+        jfn(pvars, mvars, imgs[0], feat_f1, feat_c0, feat_c1, i_ids, j_ids))
+    run("fine full stage (vmem+batch)", jfn,
+        [(pvars, mvars, im) + PRE_ARGS[1:] for im in imgs])
 
 
 sect("candidate full fine", _candidate_full)
@@ -232,6 +266,9 @@ def _tiny_attention():
 
 
 sect("tiny attention", _tiny_attention)
+
+# free the fine-stage buffers before the e2e bench claims HBM
+del imgs, wins, feat_f1, feat_c0, feat_c1, f0w, f1w, PRE_ARGS
 
 # ---------------- e2e bench ------------------------------------------
 log("e2e bench...")
@@ -255,7 +292,7 @@ for tag, tb, rm in [("B16_remat", 16, True), ("B8_remat", 8, True)]:
         trainer = Trainer(tcfg, OptimConfig(lr=1e-4, warmup_steps=0,
                                             scheduler="none"))
         state = trainer.init(seed=0, batch_size=tb)
-        H, W = tcfg.image_size
+        H, W2 = tcfg.image_size
         Km = jnp.tile(jnp.asarray(np.array(
             [[517.97, 0, 320.0], [0, 517.97, 240.0], [0, 0, 1]],
             np.float32))[None], (tb, 1, 1))
@@ -264,11 +301,11 @@ for tag, tb, rm in [("B16_remat", 16, True), ("B8_remat", 8, True)]:
         def mk_batch(k):
             k0, k1 = jax.random.split(k)
             return PairBatch(
-                image0=jax.random.uniform(k0, (tb, H, W, 1), jnp.float32),
-                image1=jax.random.uniform(k1, (tb, H, W, 1), jnp.float32),
+                image0=jax.random.uniform(k0, (tb, H, W2, 1), jnp.float32),
+                image1=jax.random.uniform(k1, (tb, H, W2, 1), jnp.float32),
                 K0=Km, K1=Km, T_0to1=T, T_1to0=T,
-                depth0=jnp.full((tb, H, W), 2.0, jnp.float32),
-                depth1=jnp.full((tb, H, W), 2.0, jnp.float32))
+                depth0=jnp.full((tb, H, W2), 2.0, jnp.float32),
+                depth1=jnp.full((tb, H, W2), 2.0, jnp.float32))
 
         base = jax.random.PRNGKey(9)
         state, m = trainer.step(state, mk_batch(base), base)

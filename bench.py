@@ -101,12 +101,20 @@ def profile_stages(B: int = 16, iters: int = 10):
         cfg=refine_cfg))
     jax.block_until_ready(solve_prior(key))
 
+    def _sync(r):
+        # On the tunneled axon backend block_until_ready returns before
+        # remote execution completes; fetching real bytes of a tiny
+        # scalar checksum is the only reliable fence (executions on the
+        # stream are ordered, so the fetch implies all prior work done).
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
     def timeit(fn, *args):
-        jax.block_until_ready(fn(*args))  # re-warm
+        _sync(fn(*args))  # re-warm
         t0 = time.perf_counter()
         for i in range(iters):
             r = fn(*args)
-        jax.block_until_ready(r)
+        _sync(r)
         return (time.perf_counter() - t0) / iters * 1e3
 
     rows = [
