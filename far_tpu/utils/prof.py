@@ -4,6 +4,27 @@ Equivalent of crockwell/far: mp3d_loftr/src/utils/profiler.py — the
 reference wraps PL's SimpleProfiler with cuda.synchronize around named
 regions; here regions are jax.profiler traces + block_until_ready timing,
 and named scopes annotate the XLA profile.
+
+Timing protocol on a TUNNELED dev TPU (the axon backend), learned the
+hard way during rounds 2-3:
+
+- ``block_until_ready`` returns before remote execution completes on
+  the tunnel, so it is NOT a fence. The only reliable fence is fetching
+  real bytes: reduce the last output to a scalar and ``float()`` it —
+  executions on the stream are ordered, so the fetch implies all prior
+  work finished. ``bench.py::_make_timer`` implements this, calibrates
+  the fence's own tunnel round-trip (~1-30 ms) on a precomputed scalar,
+  and subtracts it so fast stages aren't biased upward.
+- The tunnel proxies XLA compilation over HTTP with a body-size cap:
+  any large array captured by a jitted closure is embedded in the
+  serialized program and trips HTTP 413. Jitted functions must take
+  ALL device arrays as call-time arguments; close over Python
+  scalars/shapes only.
+- Remote compiles take minutes; set ``jax_compilation_cache_dir`` (see
+  ``bench.py::_enable_compile_cache``) so repeat runs skip them.
+- The backend flaps (multi-hour UNAVAILABLE windows observed); claim
+  devices with bounded retry (``bench.py::_claim_backend_with_retry``)
+  and keep measurement sessions idempotent/resumable.
 """
 
 from __future__ import annotations
