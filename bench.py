@@ -109,17 +109,75 @@ def profile_stages(B: int = 16, iters: int = 10):
         leaf = jax.tree_util.tree_leaves(r)[0]
         return float(jnp.sum(leaf.astype(jnp.float32)))
 
+    # Calibrate the fence: the final _sync is a tiny exec + host fetch
+    # (~27 ms through the tunnel) amortized over iters — subtract it so
+    # fast stages aren't read high (advisor r3 finding).
+    z = jax.device_put(jnp.zeros((8,), jnp.float32))
+    _sync(z)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        _sync(z)
+    fence_ms = (time.perf_counter() - t0) / 20 * 1e3
+
     def timeit(fn, *args):
         _sync(fn(*args))  # re-warm
         t0 = time.perf_counter()
         for i in range(iters):
             r = fn(*args)
         _sync(r)
-        return (time.perf_counter() - t0) / iters * 1e3
+        return max((time.perf_counter() - t0) / iters * 1e3
+                   - fence_ms / iters, 0.0)
+
+    # --- matcher sub-stages (jitted separately on the real tensors the
+    # fused program sees; sums run slightly above the fused matcher row
+    # because XLA fuses across these boundaries) -------------------------
+    from far_tpu.models.matching import coarse_match
+    from far_tpu.models.position import add_sine_position_encoding
+
+    hc, wc = cfg.coarse_hw
+    stride_c = cfg.backbone.resolution[0]
+    stride_ratio = stride_c // cfg.backbone.resolution[1]
+
+    bb_fn = jax.jit(lambda v, x: model.apply(
+        v, x, False, method=lambda mm, xx, tr: mm.backbone(xx, tr),
+        mutable=False))
+    imgs = jnp.concatenate([batch.image0, batch.image1], axis=0)
+    feat_c, feat_f = jax.block_until_ready(bb_fn(variables, imgs))
+    fc0, fc1 = feat_c[:B], feat_c[B:]
+    ff0, ff1 = feat_f[:B], feat_f[B:]
+
+    def _coarse(mm, f0, f1):
+        pe0 = add_sine_position_encoding(f0, cfg.coarse.temp_bug_fix)
+        pe1 = add_sine_position_encoding(f1, cfg.coarse.temp_bug_fix)
+        return mm.loftr_coarse(pe0.reshape(B, hc * wc, -1),
+                               pe1.reshape(B, hc * wc, -1))
+
+    coarse_fn = jax.jit(lambda v, f0, f1: model.apply(
+        v, f0, f1, method=_coarse, mutable=False))
+    t0c, t1c = jax.block_until_ready(coarse_fn(variables, fc0, fc1))
+
+    cm_fn = jax.jit(lambda a, b: coarse_match(
+        a, b, (hc, wc), (hc, wc), float(stride_c), cfg.match))
+    i_ids, j_ids, _, _, _, _ = jax.block_until_ready(cm_fn(t0c, t1c))
+
+    def _fine(mm, a0, a1, b0, b1, ii, jj):
+        f0w, f1w = mm.fine_preprocess(a0, a1, b0, b1, ii, jj, (hc, wc),
+                                      stride=stride_ratio)
+        return mm.fine_matching(f0w, f1w)
+
+    fine_fn = jax.jit(lambda v, *a: model.apply(
+        v, *a, method=_fine, mutable=False))
+    jax.block_until_ready(fine_fn(variables, ff0, ff1, t0c, t1c,
+                                  i_ids, j_ids))
 
     rows = [
         ("matcher (backbone+coarse+match+fine)",
          timeit(match_fn, variables, batch)),
+        ("  backbone (both images)", timeit(bb_fn, variables, imgs)),
+        ("  coarse transformer", timeit(coarse_fn, variables, fc0, fc1)),
+        ("  coarse match", timeit(cm_fn, t0c, t1c)),
+        ("  fine stage (gather+transformer+argmax)",
+         timeit(fine_fn, variables, ff0, ff1, t0c, t1c, i_ids, j_ids)),
         ("EMM regressor features", timeit(feat_fn, variables, out.feat_c0,
                                           out.feat_c1)),
         (f"RANSAC round 1 ({first_cfg.minimal_solver}, "
@@ -129,11 +187,14 @@ def profile_stages(B: int = 16, iters: int = 10):
         (f"prior-RANSAC round 2 ({refine_cfg.minimal_solver})",
          timeit(solve_prior, key)),
     ]
-    total = sum(t for _, t in rows)
+    total = sum(t for name, t in rows if not name.startswith(" "))
+    print(f"# fence: {fence_ms:.1f} ms/fetch, subtracted /iters from "
+          f"each row (iters={iters})")
     print(f"{'stage':<46} ms @ B={B}   ms/pair")
     for name, t in rows:
         print(f"{name:<46} {t:8.2f} {t / B:9.3f}")
-    print(f"{'sum of stages':<46} {total:8.2f} {total / B:9.3f}")
+    print(f"{'sum of stages (indented rows excluded)':<46} "
+          f"{total:8.2f} {total / B:9.3f}")
 
 
 def _claim_backend_with_retry(attempts: int = 5, wait_s: float = 60.0):

@@ -135,42 +135,55 @@ class InteriornetStreetlearnDataset:
 
 
 class MapFreeScene:
-    """One map-free scene: reference frame seq0/frame_00000 + query seq."""
+    """One map-free scene (reference mapfree_6dreg/lib/datasets/
+    mapfree.py:12-191 MapFreeScene).
+
+    On-disk layout per scene dir: ``intrinsics.txt`` ('frame fx fy cx cy
+    W H'), ``poses.txt`` ('frame qw qx qy qz tx ty tz', world-to-cam),
+    frames at ``seq{i}/frame_{n:05d}.jpg``, optionally ``overlaps.npz``
+    (arrays idxs (N, 4) = [seqA, imA, seqB, imB] and overlaps (N,)) and
+    estimated-depth PNGs ``frame_{n:05d}.{suffix}.png`` in millimeters.
+    """
 
     def __init__(self, scene_dir, resize_wh=(540, 720),
                  reg_resize_wh=(270, 360),
                  overlap_limits: Optional[Tuple[float, float]] = None,
-                 estimated_depth: Optional[str] = None):
+                 estimated_depth: Optional[str] = None,
+                 sample_factor: int = 1):
         self.scene_dir = Path(scene_dir)
         self.scene = self.scene_dir.name
         self.resize_wh = resize_wh
         self.reg_resize_wh = reg_resize_wh
         self.estimated_depth = estimated_depth
-        self.K = dio.load_mapfree_intrinsics(self.scene_dir / "intrinsics.txt")
+        self.sample_factor = sample_factor
+        # intrinsics at both pipeline resolutions, rescaled from the
+        # file's native (W, H) with the half-pixel correction
+        # (reference read_intrinsics + correct_intrinsic_scale)
+        self.K = dio.load_mapfree_intrinsics(
+            self.scene_dir / "intrinsics.txt", resize_wh)
+        self.K_reg = dio.load_mapfree_intrinsics(
+            self.scene_dir / "intrinsics.txt", reg_resize_wh)
         self.poses = dio.load_mapfree_poses(self.scene_dir / "poses.txt")
-        self.pairs = self._build_pairs(overlap_limits)
+        self.pairs = self._build_pairs(overlap_limits, sample_factor)
 
-    def _build_pairs(self, overlap_limits) -> List[Tuple[str, str]]:
-        frames = sorted(self.poses.keys())
-        ref = [f for f in frames if f.startswith("seq0")]
-        qry = [f for f in frames if not f.startswith("seq0")]
-        if not ref:
-            return []
-        pairs = [(ref[0], q) for q in qry]
-        if overlap_limits is not None:
-            overlaps = self._load_overlaps()
-            if overlaps is not None:
-                lo, hi = overlap_limits
-                pairs = [p for p in pairs
-                         if lo <= overlaps.get(p[1], 0.5) <= hi]
-        return pairs
-
-    def _load_overlaps(self):
+    def _build_pairs(self, overlap_limits,
+                     sample_factor: int) -> List[Tuple[str, str]]:
+        """Training scenes: overlap-filtered (seqA, imA, seqB, imB) rows
+        from overlaps.npz (STRICT limits, reference mapfree.py:86-93).
+        Test/val scenes (no overlaps file): the seq0/frame_00000 keyframe
+        against every sample_factor-th query frame, in poses.txt order
+        (reference mapfree.py:94-100)."""
         p = self.scene_dir / "overlaps.npz"
-        if not p.exists():
-            return None
-        z = np.load(p, allow_pickle=True)
-        return dict(zip(z["names"].tolist(), z["overlaps"].tolist()))
+        if p.exists():
+            z = np.load(p, allow_pickle=True)
+            idxs, overlaps = z["idxs"], z["overlaps"]
+            if overlap_limits is not None:
+                lo, hi = overlap_limits
+                idxs = idxs[(overlaps > lo) & (overlaps < hi)]
+            return [(f"seq{a}/frame_{i:05d}.jpg",
+                     f"seq{b}/frame_{j:05d}.jpg") for a, i, b, j in idxs]
+        qry = [f for f in self.poses if "seq0" not in f]
+        return [("seq0/frame_00000.jpg", q) for q in qry][::sample_factor]
 
     def __len__(self):
         return len(self.pairs)
@@ -184,50 +197,56 @@ class MapFreeScene:
         q0, t0 = self.poses[f0]
         q1, t1 = self.poses[f1]
         T_0to1 = dio.mapfree_relative_pose(q0, t0, q1, t1).astype(np.float32)
-
-        # rescale K for the matcher resolution
-        from PIL import Image
-
-        with Image.open(self.scene_dir / f0) as im:
-            W0, H0 = im.size
-        sx = self.resize_wh[0] / W0
-        sy = self.resize_wh[1] / H0
-        S = np.diag([sx, sy, 1.0]).astype(np.float32)
+        # camera centers in world coords c = -R(q)^T t (reference
+        # mapfree.py:158-159 abs_c_* via rotate_vector(-t, qinverse(q)))
+        R0 = dio._quat_to_matrix_np(q0)
+        R1 = dio._quat_to_matrix_np(q1)
         out = {
             "image0": img0.mean(-1, keepdims=True),
             "image1": img1.mean(-1, keepdims=True),
             "image0_reg": img0_reg,
             "image1_reg": img1_reg,
-            "K0": (S @ self.K[f0]).astype(np.float32),
-            "K1": (S @ self.K[f1]).astype(np.float32),
-            "K_color0": self.K[f0].astype(np.float32),
-            "K_color1": self.K[f1].astype(np.float32),
+            "K0": self.K[f0].astype(np.float32),
+            "K1": self.K[f1].astype(np.float32),
+            "K_color0": self.K_reg[f0].astype(np.float32),
+            "K_color1": self.K_reg[f1].astype(np.float32),
             "T_0to1": T_0to1,
             "T_1to0": np.linalg.inv(T_0to1).astype(np.float32),
+            "abs_q_0": np.asarray(q0, np.float32),
+            "abs_c_0": (-R0.T @ np.asarray(t0)).astype(np.float32),
+            "abs_q_1": np.asarray(q1, np.float32),
+            "abs_c_1": (-R1.T @ np.asarray(t1)).astype(np.float32),
             "scene": self.scene,
-            "pair_id": np.asarray(idx, np.int64),
+            "pair_id": np.asarray(idx * self.sample_factor, np.int64),
             "pair_names": (f0, f1),
             "dataset_name": "mapfree",
         }
         if self.estimated_depth is not None:
-            d0 = self.scene_dir / f0.replace(".jpg", f".{self.estimated_depth}.npy")
-            d1 = self.scene_dir / f1.replace(".jpg", f".{self.estimated_depth}.npy")
+            d0 = self.scene_dir / f0.replace(
+                ".jpg", f".{self.estimated_depth}.png")
+            d1 = self.scene_dir / f1.replace(
+                ".jpg", f".{self.estimated_depth}.png")
             if d0.exists():
-                out["depth0"] = np.load(d0).astype(np.float32)
+                out["depth0"] = dio.read_depth_png(d0)
             if d1.exists():
-                out["depth1"] = np.load(d1).astype(np.float32)
+                out["depth1"] = dio.read_depth_png(d1)
         return out
 
 
 class MapFreeDataset:
-    """Concatenation of MapFreeScene datasets (reference mapfree.py:170+)."""
+    """Concatenation of MapFreeScene datasets (reference mapfree.py:194+).
 
-    def __init__(self, root, split: str = "val", **scene_kwargs):
+    ``sample_factor`` defaults to the reference's per-split factors
+    (train 1, val/test 5, mapfree.py:205) unless given explicitly."""
+
+    def __init__(self, root, split: str = "val",
+                 scenes: Optional[Sequence[str]] = None, **scene_kwargs):
         root = Path(root) / split
-        self.scenes = [
-            MapFreeScene(d, **scene_kwargs)
-            for d in sorted(root.iterdir()) if d.is_dir()
-        ]
+        scene_kwargs.setdefault(
+            "sample_factor", {"train": 1, "val": 5, "test": 5}.get(split, 1))
+        dirs = ([root / s for s in scenes] if scenes is not None
+                else sorted(d for d in root.iterdir() if d.is_dir()))
+        self.scenes = [MapFreeScene(d, **scene_kwargs) for d in dirs]
         self._offsets = np.cumsum([0] + [len(s) for s in self.scenes])
 
     def __len__(self):

@@ -142,18 +142,47 @@ def load_mapfree_poses(path) -> dict:
     return out
 
 
-def load_mapfree_intrinsics(path) -> dict:
-    """intrinsics.txt: 'frame fx fy cx cy W H' -> {frame: K}."""
+def correct_intrinsic_scale(K: np.ndarray, scale_x: float,
+                            scale_y: float) -> np.ndarray:
+    """Rescale a pinhole K for resized pixel coordinates
+    x' = scale_x * x, including the half-pixel center shift
+    (reference mapfree_6dreg/lib/datasets/utils.py:176-189)."""
+    T = np.eye(3)
+    T[0, 0], T[0, 2] = scale_x, scale_x / 2 - 0.5
+    T[1, 1], T[1, 2] = scale_y, scale_y / 2 - 0.5
+    return T @ K
+
+
+def load_mapfree_intrinsics(path, resize_wh: Optional[Tuple[int, int]] = None
+                            ) -> dict:
+    """intrinsics.txt: 'frame fx fy cx cy W H' -> {frame: K}.
+
+    With ``resize_wh`` = (w, h), each K is rescaled from the file's
+    native (W, H) via correct_intrinsic_scale (reference
+    mapfree.py:37-53 read_intrinsics).
+    """
     out = {}
     with open(path, "r", encoding="utf-8") as f:
         for line in f:
             if line.startswith("#") or not line.strip():
                 continue
             parts = line.strip().split(" ")
-            fx, fy, cx, cy = map(float, parts[1:5])
-            out[parts[0]] = np.array(
-                [[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+            fx, fy, cx, cy, W, H = map(float, parts[1:7])
+            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+            if resize_wh is not None:
+                K = correct_intrinsic_scale(
+                    K, resize_wh[0] / W, resize_wh[1] / H)
+            out[parts[0]] = K
     return out
+
+
+def read_depth_png(path) -> np.ndarray:
+    """Millimeter uint16 depth PNG -> float32 meters (reference
+    mapfree_6dreg/lib/datasets/utils.py:135-139 read_depth_image)."""
+    from PIL import Image
+
+    depth = np.asarray(Image.open(path))
+    return depth.astype(np.float32) / 1000.0
 
 
 def mapfree_relative_pose(q0, t0, q1, t1) -> np.ndarray:

@@ -176,18 +176,8 @@ class FinePreprocess(nn.Module):
         stride: int,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         W = self.cfg.window_size
-        if self.cfg.gather == "vmem":
-            from far_tpu.ops.window_gather import gather_windows_vmem
-
-            K = i_ids.shape[1]
-            kb = K if K % 128 else 128
-            f0 = gather_windows_vmem(feat_f0, i_ids, coarse_hw, stride, W,
-                                     block_k=kb)
-            f1 = gather_windows_vmem(feat_f1, j_ids, coarse_hw, stride, W,
-                                     block_k=kb)
-        else:
-            f0 = gather_windows(feat_f0, i_ids, coarse_hw, stride, W)
-            f1 = gather_windows(feat_f1, j_ids, coarse_hw, stride, W)
+        f0 = gather_windows(feat_f0, i_ids, coarse_hw, stride, W)
+        f1 = gather_windows(feat_f1, j_ids, coarse_hw, stride, W)
 
         if self.cfg.concat_coarse_feat:
             down = nn.Dense(self.cfg.d_model, dtype=self.dtype, name="down_proj")
@@ -237,7 +227,6 @@ class FineMatching(nn.Module):
             layer_names=tuple(self.cfg.layer_names),
             attention=self.cfg.attention,
             dtype=self.dtype,
-            batch_self=self.cfg.batch_self,
             name="loftr_fine",
         )
         f0t, f1t = ft(f0.reshape(B * K, WW, C), f1.reshape(B * K, WW, C))

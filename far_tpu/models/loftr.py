@@ -102,7 +102,6 @@ class FARLoFTR(nn.Module):
             layer_names=tuple(cfg.coarse.layer_names),
             attention=cfg.coarse.attention,
             dtype=dt,
-            batch_self=cfg.coarse.batch_self,
         )
         if cfg.match.match_type == "sinkhorn":
             self.bin_score = self.param(

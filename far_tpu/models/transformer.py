@@ -139,17 +139,16 @@ class LocalFeatureTransformer(nn.Module):
 
     The reference applies cross layers sequentially (feat1's update
     consumes the already-updated feat0 — transformer.py:100-106), so
-    cross cannot be batched without changing semantics.  Self layers
-    are independent; with ``batch_self`` the two directions run as one
-    doubled-batch pass through the shared-weight layer (identical math,
-    half the launches)."""
+    cross cannot be batched without changing semantics. (Batching the
+    two independent self-layer directions as one doubled batch was
+    measured SLOWER on TPU — the concat/split HBM copies outweigh the
+    saved launch — and removed; r4 A/B session.)"""
 
     d_model: int
     nhead: int
     layer_names: Sequence[str]
     attention: str = "linear"
     dtype: jnp.dtype = jnp.float32
-    batch_self: bool = False
 
     @nn.compact
     def __call__(
@@ -159,24 +158,14 @@ class LocalFeatureTransformer(nn.Module):
         mask0: Optional[jnp.ndarray] = None,
         mask1: Optional[jnp.ndarray] = None,
     ):
-        can_batch = (self.batch_self
-                     and feat0.shape == feat1.shape
-                     and (mask0 is None) == (mask1 is None))
         for i, name in enumerate(self.layer_names):
             layer = LoFTREncoderLayer(
                 self.d_model, self.nhead, self.attention, self.dtype,
                 name=f"layer_{i}_{name}",
             )
             if name == "self":
-                if can_batch:
-                    both = jnp.concatenate([feat0, feat1], axis=0)
-                    m = None if mask0 is None else jnp.concatenate(
-                        [mask0, mask1], axis=0)
-                    both = layer(both, both, m, m)
-                    feat0, feat1 = jnp.split(both, 2, axis=0)
-                else:
-                    feat0 = layer(feat0, feat0, mask0, mask0)
-                    feat1 = layer(feat1, feat1, mask1, mask1)
+                feat0 = layer(feat0, feat0, mask0, mask0)
+                feat1 = layer(feat1, feat1, mask1, mask1)
             elif name == "cross":
                 feat0 = layer(feat0, feat1, mask0, mask1)
                 feat1 = layer(feat1, feat0, mask1, mask0)

@@ -27,9 +27,9 @@ class AttentionStackConfig:
     layer_names: Tuple[str, ...] = ("self", "cross") * 4
     attention: str = "linear"  # 'linear' | 'full'
     temp_bug_fix: bool = True
-    # run both directions of each self layer as one doubled batch
-    # (identical math; see LocalFeatureTransformer.batch_self)
-    batch_self: bool = False
+    # (a batch_self knob that ran both self-layer directions as one
+    # doubled batch was measured SLOWER on TPU — matcher 162.0 ms vs
+    # 153.2 ms baseline at B=16, r4 A/B session — and removed)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,13 +54,14 @@ class FineConfig:
     attention: str = "linear"
     window_size: int = 5
     concat_coarse_feat: bool = True
-    batch_self: bool = False  # see AttentionStackConfig.batch_self
-    # window gather backend: 'sparse' (per-offset XLA gathers) or
-    # 'vmem' (Pallas kernel, ops/window_gather.py)
-    gather: str = "sparse"
     # compute merge([windows || coarse]) as a split matmul (same params,
-    # no (B,K,WW,2C) concat materialization) — see fine._SplitMerge
-    split_merge: bool = False
+    # no (B,K,WW,2C) concat materialization) — see fine._SplitMerge.
+    # Default ON: measured 151.5 ms vs 153.2 ms matcher @ B=16 on TPU
+    # (r4 A/B session; numerics identical, tests/test_fine_gather.py).
+    # (A Pallas VMEM gather backend existed but failed to compile on the
+    # real chip's Mosaic toolchain and was removed per the
+    # measure-flip-or-delete policy.)
+    split_merge: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

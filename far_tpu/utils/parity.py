@@ -158,6 +158,93 @@ def record_torch_fixture(module, taps: List[Tap],
     np.savez_compressed(path, **arrays)
 
 
+def save_fixture(fixture, path: str, half_taps: bool = False) -> None:
+    """Persist an in-memory ``(meta, inputs, sd, taps)`` fixture (as
+    produced by tests.refloader's recorders) to the standard .npz layout
+    that :func:`load_fixture` reads — the committed "golden" fixtures
+    under tests/golden/ are written this way.
+
+    ``half_taps`` stores float32 taps as float16 (halves the committed
+    golden fixtures; replay compares with a correspondingly widened
+    tolerance — layout/converter regressions produce O(1) errors, far
+    above f16 rounding)."""
+    meta, inputs, sd, taps = fixture
+    arrays: Dict[str, np.ndarray] = {
+        "meta": np.asarray(json.dumps(meta))}
+    for k, v in inputs.items():
+        arrays[f"input.{k}"] = np.asarray(v)
+    for k, v in sd.items():
+        arrays[f"sd.{k}"] = np.asarray(v)
+    for k, v in taps.items():
+        v = np.asarray(v)
+        if half_taps and v.dtype == np.float32:
+            v = v.astype(np.float16)
+        arrays[f"tap.{k}"] = v
+    np.savez_compressed(path, **arrays)
+
+
+def sd_spec_of(sd: Dict[str, np.ndarray]) -> Dict[str, Dict]:
+    """Shape/dtype spec of a state dict (for PRNG-synthesized fixtures)."""
+    return {k: {"shape": list(np.asarray(v).shape),
+                "dtype": str(np.asarray(v).dtype)}
+            for k, v in sd.items()}
+
+
+def synth_state_dict(spec: Dict[str, Dict], seed: int = 0
+                     ) -> Dict[str, np.ndarray]:
+    """Deterministically synthesize a torch-layout state dict from a
+    shape spec — the SAME arrays on any machine, with or without torch.
+
+    The committed golden fixtures (tests/golden/) store only this spec:
+    the recorder overwrites the live reference model's weights with
+    these arrays before recording taps, and the fast-tier replay
+    regenerates them here, so multi-hundred-MB weight blobs never enter
+    the repo. Per-key streams are independent (seeded by crc32 of the
+    key), so adding/removing keys can't shift other keys' values.
+
+    Scheme v1 (He-style so activations stay sane through the nets):
+    - float ndim>=2: normal * sqrt(2 / fan_in), fan_in = prod(shape[1:])
+    - float ndim<2 with 'running_var'/'_var' in key: |1 + 0.1 normal|
+    - other float ndim<2: 0.05 * normal  (biases, LN/BN affine deltas
+      are applied as recorded — BN/LN weights get 1 + that delta)
+    - 'weight' 1-D of norm layers can't be told apart from biases by
+      shape, so ALL 1-D floats except *_var use 0.05*normal + (1.0 if
+      key endswith 'weight' else 0.0)
+    - ints: zeros
+    - keys with ``alias_of`` (torch modules whose state dict exposes the
+      SAME storage under two names, e.g. a shared shortcut norm) copy
+      the canonical key's array, mirroring the aliasing torch enforces
+      on load_state_dict
+    """
+    import zlib
+
+    out = {}
+    for k in sorted(spec):
+        if spec[k].get("alias_of"):
+            continue
+        shape = tuple(spec[k]["shape"])
+        dtype = np.dtype(spec[k]["dtype"])
+        rng = np.random.default_rng([seed, zlib.crc32(k.encode())])
+        if not np.issubdtype(dtype, np.floating):
+            out[k] = np.zeros(shape, dtype)
+            continue
+        if len(shape) >= 2:
+            fan_in = int(np.prod(shape[1:]))
+            arr = rng.standard_normal(shape) * np.sqrt(2.0 / max(1, fan_in))
+        elif "running_var" in k or k.endswith("_var"):
+            arr = np.abs(1.0 + 0.1 * rng.standard_normal(shape))
+        else:
+            arr = 0.05 * rng.standard_normal(shape)
+            if k.endswith("weight"):  # norm-layer scale around 1
+                arr = arr + 1.0
+        out[k] = arr.astype(dtype)
+    for k in spec:
+        src = spec[k].get("alias_of")
+        if src:
+            out[k] = out[src]
+    return out
+
+
 def load_fixture(path: str):
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z["meta"]))
@@ -332,7 +419,7 @@ _FAMILY = {
 
 
 def run_parity(fixture, cfg, variables=None,
-               atol: float = 1e-3) -> Dict[str, Any]:
+               atol: float = 1e-3, rtol_max: float = 0.0) -> Dict[str, Any]:
     """Convert the fixture's state dict, replay its inputs through our
     model, and compare every recorded tap.
 
@@ -395,7 +482,12 @@ def run_parity(fixture, cfg, variables=None,
         if ours is None:
             skipped.append(tap.name)
             continue
-        tols[tap.name] = max(atol, tap.atol or 0.0)
+        # rtol_max scales the gate with the tap's own magnitude — used
+        # by the golden fixtures whose taps are f16-stored (rounding is
+        # proportional to max|tap|, ~2^-11)
+        tols[tap.name] = max(
+            atol, tap.atol or 0.0,
+            rtol_max * float(np.max(np.abs(taps[tap.name]))))
         expected = _align(np.asarray(taps[tap.name], np.float32),
                           ours, tap.layout)
         if expected is None:

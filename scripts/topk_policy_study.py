@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Static top-k vs dynamic-threshold match selection study (VERDICT r3 #2).
+
+The central XLA redesign replaces the reference's dynamic confidence
+thresholding (crockwell/far mp3d_loftr/src/loftr/utils/
+coarse_matching.py:150-265: thr mask + border suppression + mutual-NN +
+torch.where over the whole matrix) with a fixed ``max_matches`` top-k +
+validity mask (far_tpu/models/matching.py select_topk_matches). The two
+policies pick identical sets whenever the dynamic count M <= K; they
+differ only when M > K, where top-k keeps the K highest-confidence
+matches. This study trains the production-size matcher on synthetic
+data until matches are meaningful, then on IDENTICAL conf matrices
+compares:
+
+  - the dynamic match count distribution,
+  - match-set agreement (|topk ∩ dynamic| / min(M, K)),
+  - downstream solver pose error per policy (same PRNG),
+
+sweeping K in {512, 1024, 2000} (the reference caps correspondences at
+2000, mp3d_loftr/train.py:141-142). Output: a markdown table (stdout)
+for README plus a JSON line.
+
+Usage: python scripts/topk_policy_study.py [--steps 300] [--pairs 32]
+       [--image_size 480x640] [--cpu]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def dynamic_reference_selection(conf, hw0, hw1, thr, border_rm):
+    """Exact numpy replay of the reference get_coarse_match inference
+    path (coarse_matching.py:172-195): threshold -> border suppression
+    on both grids -> mutual nearest neighbour -> row-max extraction.
+
+    Returns (i_ids, j_ids, mconf) 1-D arrays of dynamic length M."""
+    L, S = conf.shape
+    h0, w0 = hw0
+    h1, w1 = hw1
+    mask = conf > thr
+
+    m4 = mask.reshape(h0, w0, h1, w1)
+    b = border_rm
+    if b > 0:
+        m4[:b] = False
+        m4[-b:] = False
+        m4[:, :b] = False
+        m4[:, -b:] = False
+        m4[:, :, :b] = False
+        m4[:, :, -b:] = False
+        m4[:, :, :, :b] = False
+        m4[:, :, :, -b:] = False
+    mask = m4.reshape(L, S)
+
+    mask &= (conf == conf.max(axis=1, keepdims=True)) & \
+            (conf == conf.max(axis=0, keepdims=True))
+
+    mask_v = mask.any(axis=1)
+    all_j = mask.argmax(axis=1)
+    i_ids = np.where(mask_v)[0]
+    j_ids = all_j[i_ids]
+    return i_ids, j_ids, conf[i_ids, j_ids]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--pairs", type=int, default=32)
+    ap.add_argument("--train_batch", type=int, default=8)
+    ap.add_argument("--image_size", default="480x640")
+    ap.add_argument("--thr", type=float, default=0.2)
+    ap.add_argument("--caps", default="512,1024,2000")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    import os
+
+    cache = os.path.expanduser("~/.cache/far_tpu_xla_bench")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    from far_tpu.data import Loader, SyntheticPairDataset
+    from far_tpu.models.loftr import FARLoFTR
+    from far_tpu.models.matching import select_topk_matches
+    from far_tpu.solvers import SolverConfig, estimate_pose
+    from far_tpu.train.optim import OptimConfig
+    from far_tpu.train.trainer import Trainer
+    from far_tpu.utils.config import FARConfig, MatchConfig
+    from far_tpu.types import PairBatch
+
+    H, W = map(int, args.image_size.split("x"))
+    caps = [int(c) for c in args.caps.split(",")]
+    cfg = FARConfig(image_size=(H, W), dtype="bfloat16",
+                    match=MatchConfig(thr=args.thr))
+    hc, wc = cfg.coarse_hw
+    L = hc * wc
+
+    # --- train the matcher on synthetic until matches are meaningful ---
+    B = args.train_batch
+    trainer = Trainer(cfg, OptimConfig(lr=2e-4, warmup_steps=20,
+                                       scheduler="none"))
+    state = trainer.init(seed=0, batch_size=B)
+    ds = SyntheticPairDataset(n=B * 8, hw=(H, W), seed=0, n_scenes=8)
+    loader = Loader(ds, np.arange(len(ds)), batch_size=B, workers=1)
+    t0 = time.perf_counter()
+    step = 0
+    while step < args.steps:
+        for batch in loader:
+            key = jax.random.fold_in(jax.random.PRNGKey(1), step)
+            state, metrics = trainer.step(state, batch, key)
+            step += 1
+            if step % 50 == 0 or step == args.steps:
+                print(f"# step {step}: loss={float(metrics['loss']):.4f} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+            if step >= args.steps:
+                break
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    model = FARLoFTR(cfg)
+
+    # --- conf matrices + dense features on held-out pairs --------------
+    eval_ds = SyntheticPairDataset(n=args.pairs, hw=(H, W), seed=777,
+                                   n_scenes=args.pairs)
+    match_fn = jax.jit(lambda v, b: model.apply(
+        v, b, train=True, method=FARLoFTR.match, mutable=False))
+
+    rows = {K: [] for K in caps}
+    dyn_counts, agree = [], {K: [] for K in caps}
+    dyn_errs = []
+    eb = 4
+    for i0 in range(0, args.pairs, eb):
+        samples = [eval_ds[i] for i in range(i0, min(i0 + eb, args.pairs))]
+        from far_tpu.data.loader import collate_pairs
+
+        batch = collate_pairs(samples)
+        out = match_fn(variables, batch)
+        conf = np.asarray(out.conf_matrix, np.float32)  # (b, L, S)
+        for bi in range(conf.shape[0]):
+            s = samples[bi]
+            ci = conf[bi]
+            di, dj, dconf = dynamic_reference_selection(
+                ci.copy(), (hc, wc), (hc, wc), args.thr, cfg.match.border_rm)
+            M = len(di)
+            dyn_counts.append(M)
+            dyn_set = set(zip(di.tolist(), dj.tolist()))
+
+            def solve(i_ids, j_ids, valid):
+                stride = float(cfg.backbone.resolution[0])
+                p0 = np.stack([(i_ids % wc) * stride, (i_ids // wc) * stride],
+                              -1).astype(np.float32)
+                p1 = np.stack([(j_ids % wc) * stride, (j_ids // wc) * stride],
+                              -1).astype(np.float32)
+                est = estimate_pose(
+                    jax.random.PRNGKey(1234 + i0 + bi),
+                    jnp.asarray(p0)[None], jnp.asarray(p1)[None],
+                    jnp.asarray(s["K0"])[None], jnp.asarray(s["K1"])[None],
+                    jnp.asarray(valid)[None],
+                    cfg=SolverConfig(solver="prior_ransac_noprior",
+                                     num_hypotheses=1024))
+                R_est = np.asarray(est.R[0], np.float64)
+                R_gt = np.asarray(s["T_0to1"][:3, :3], np.float64)
+                cosang = (np.trace(R_est @ R_gt.T) - 1) / 2
+                return float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
+
+            # dynamic policy baseline error (padded into a static call)
+            KD = max(M, 8)
+            vi = np.zeros(KD, bool)
+            vi[:M] = True
+            pi = np.zeros(KD, np.int64)
+            pj = np.zeros(KD, np.int64)
+            pi[:M], pj[:M] = di, dj
+            dyn_errs.append(solve(pi, pj, vi))
+
+            for K in caps:
+                mcfg = MatchConfig(thr=args.thr,
+                                   border_rm=cfg.match.border_rm,
+                                   max_matches=min(K, L))
+                ti, tj, tconf, tvalid = (
+                    np.asarray(x[0]) for x in select_topk_matches(
+                        jnp.asarray(ci)[None], (hc, wc), (hc, wc), mcfg))
+                sel = set(zip(ti[tvalid].tolist(), tj[tvalid].tolist()))
+                inter = len(sel & dyn_set)
+                denom = max(1, min(M, min(K, L)))
+                agree[K].append(inter / denom)
+                rows[K].append(solve(ti.astype(np.int64),
+                                     tj.astype(np.int64), tvalid))
+
+    dyn_med = float(np.median(dyn_errs))
+    print("\n| policy | median rot err (deg) | mean match agreement | "
+          "notes |")
+    print("|---|---|---|---|")
+    print(f"| dynamic threshold (reference replay) | {dyn_med:.3f} | — | "
+          f"M: min {min(dyn_counts)} / med "
+          f"{int(np.median(dyn_counts))} / max {max(dyn_counts)} |")
+    payload = {"dyn_median_rot_deg": round(dyn_med, 3),
+               "dyn_counts": [int(min(dyn_counts)),
+                              int(np.median(dyn_counts)),
+                              int(max(dyn_counts))],
+               "caps": {}}
+    for K in caps:
+        med = float(np.median(rows[K]))
+        ag = float(np.mean(agree[K]))
+        print(f"| static top-k K={K} | {med:.3f} | {ag:.4f} | "
+              f"delta {med - dyn_med:+.3f} deg |")
+        payload["caps"][K] = {"median_rot_deg": round(med, 3),
+                              "agreement": round(ag, 4),
+                              "delta_deg": round(med - dyn_med, 3)}
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

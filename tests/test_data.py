@@ -214,3 +214,153 @@ class TestCachedCorrespondences:
         assert s["correspondences"].shape == (128, 2, 2)
         assert "image0" not in s
         assert 40 <= s["num_correspondences"] <= 50  # 64 * 0.75
+
+
+class TestMapFreeOnDisk:
+    """Fixture round-trips for the MapFree on-disk layout (reference
+    mapfree_6dreg/lib/datasets/mapfree.py:12-191)."""
+
+    @staticmethod
+    def _write_scene(scene, n_query=5, wh=(64, 48), with_depth=False):
+        from PIL import Image
+
+        rng = np.random.default_rng(int(str(scene.name)[1:] or 0))
+        W, H = wh
+        frames = ["seq0/frame_00000.jpg"] + [
+            f"seq1/frame_{i:05d}.jpg" for i in range(n_query)]
+        (scene / "seq0").mkdir(parents=True)
+        (scene / "seq1").mkdir(parents=True)
+        intr, poses = ["# frame fx fy cx cy W H"], ["# frame qw qx qy qz tx ty tz"]
+        qts = {}
+        for f in frames:
+            Image.fromarray(
+                rng.integers(0, 255, (H, W, 3), np.uint8)).save(scene / f)
+            fx, fy = rng.uniform(50, 70, 2)
+            intr.append(f"{f} {fx} {fy} {W / 2} {H / 2} {W} {H}")
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            t = rng.normal(size=3)
+            if f.startswith("seq0"):
+                q, t = np.array([1.0, 0, 0, 0]), np.zeros(3)
+            poses.append(f"{f} " + " ".join(map(str, [*q, *t])))
+            qts[f] = (q, t)
+            if with_depth:
+                d = (rng.uniform(500, 3000, (H, W))).astype(np.uint16)
+                Image.fromarray(d).save(
+                    scene / f.replace(".jpg", ".dptkitti.png"))
+        (scene / "intrinsics.txt").write_text("\n".join(intr))
+        (scene / "poses.txt").write_text("\n".join(poses))
+        return qts
+
+    def test_val_scene_from_files(self, tmp_path):
+        from scipy.spatial.transform import Rotation
+
+        from far_tpu.data import MapFreeDataset
+
+        root = tmp_path / "mapfree"
+        qts = self._write_scene(root / "val" / "s00000", n_query=5,
+                                with_depth=True)
+        ds = MapFreeDataset(root, split="val", resize_wh=(32, 24),
+                            reg_resize_wh=(16, 12),
+                            estimated_depth="dptkitti")
+        # val sample_factor=5 (reference mapfree.py:205): 5 queries -> 1
+        assert len(ds) == 1
+        s = ds[0]
+        assert s["pair_names"] == ("seq0/frame_00000.jpg",
+                                   "seq1/frame_00000.jpg")
+        assert int(s["pair_id"]) == 0
+        assert s["image0"].shape == (24, 32, 1)
+        assert s["image0_reg"].shape == (12, 16, 3)
+        assert s["depth0"].shape == (48, 64)
+        assert 0.5 <= float(s["depth0"].mean()) <= 3.0  # mm -> m
+
+        # K rescale must include the half-pixel center shift
+        # (reference correct_intrinsic_scale, utils.py:176-189)
+        sx, sy = 32 / 64, 24 / 48
+        fx = float(s["K1"][0, 0]) / sx
+        expected_cx = sx * 32.0 + sx / 2 - 0.5
+        assert abs(float(s["K1"][0, 2]) - expected_cx) < 1e-5
+        assert 50 <= fx <= 70
+
+        # relative pose vs an independent quaternion path (scipy):
+        # q12 = q1 * q0^-1, t12 = t1 - R12 t0 (reference mapfree.py:162-167)
+        q0, t0 = qts["seq0/frame_00000.jpg"]
+        q1, t1 = qts["seq1/frame_00000.jpg"]
+        R0 = Rotation.from_quat(q0, scalar_first=True).as_matrix()
+        R1 = Rotation.from_quat(q1, scalar_first=True).as_matrix()
+        R12 = R1 @ R0.T
+        t12 = t1 - R12 @ t0
+        np.testing.assert_allclose(s["T_0to1"][:3, :3], R12, atol=1e-5)
+        np.testing.assert_allclose(s["T_0to1"][:3, 3], t12, atol=1e-5)
+        # abs camera center c = -R^T t
+        np.testing.assert_allclose(
+            s["abs_c_1"], -R1.T @ t1, atol=1e-5)
+
+    def test_overlap_filtered_training_pairs(self, tmp_path):
+        from far_tpu.data import MapFreeScene
+
+        scene = tmp_path / "train" / "s00001"
+        self._write_scene(scene, n_query=4)
+        # reference overlaps.npz layout: idxs (N, 4) uint16 rows
+        # [seqA, imA, seqB, imB] + overlaps (N,) scores; filter is STRICT
+        # (overlaps > lo) & (overlaps < hi)  (mapfree.py:86-93)
+        idxs = np.array([[0, 0, 1, 0], [0, 0, 1, 1], [1, 0, 1, 2],
+                         [0, 0, 1, 3]], np.uint16)
+        overlaps = np.array([0.2, 0.5, 0.6, 0.8])
+        np.savez(scene / "overlaps.npz", idxs=idxs, overlaps=overlaps)
+        sc = MapFreeScene(scene, resize_wh=(32, 24),
+                          overlap_limits=(0.2, 0.8))
+        # 0.2 and 0.8 excluded (strict), rows 1-2 kept incl. seq1<->seq1
+        assert sc.pairs == [
+            ("seq0/frame_00000.jpg", "seq1/frame_00001.jpg"),
+            ("seq1/frame_00000.jpg", "seq1/frame_00002.jpg")]
+        s = sc[1]
+        assert s["pair_names"][0] == "seq1/frame_00000.jpg"
+        assert np.isfinite(s["T_0to1"]).all()
+
+
+class TestInteriornetStreetlearnOnDisk:
+    """Fixture round-trip for the npy metadata format (reference
+    interiornetStreetlearn_8ptVit/src/data_readers/interiornet.py:57-90)."""
+
+    def test_dataset_from_metadata_npy(self, tmp_path):
+        from PIL import Image
+        from scipy.spatial.transform import Rotation
+
+        from far_tpu.data.datasets import InteriornetStreetlearnDataset
+
+        rng = np.random.default_rng(3)
+        (tmp_path / "scene").mkdir()
+        records = {}
+        vps = {}
+        for i in range(3):
+            for j, im in enumerate(("a", "b")):
+                Image.fromarray(rng.integers(
+                    0, 255, (32, 32, 3), np.uint8)).save(
+                        tmp_path / "scene" / f"{i}{im}.png")
+            x1, y1, x2, y2 = rng.uniform(-1, 1, 4)
+            records[i] = {
+                "img1": {"path": f"scene/{i}a.png", "x": x1, "y": y1},
+                "img2": {"path": f"scene/{i}b.png", "x": x2, "y": y2},
+            }
+            vps[i] = (x1, y1, x2, y2)
+        meta = tmp_path / "train_pair_rotation_overlap.npy"
+        # reference loads via np.load(..., allow_pickle=True) then
+        # np.array(raw, ndmin=1)[0] -> a dict keyed by pair index
+        np.save(meta, records, allow_pickle=True)
+
+        ds = InteriornetStreetlearnDataset(meta, tmp_path,
+                                           resize_wh=(64, 48))
+        assert len(ds) == 3
+        s = ds[1]
+        assert s["image0"].shape == (48, 64, 1)
+        assert s["image0_rgb"].shape == (48, 64, 3)
+        # GT is rotation-only: R = R2 @ R1^T with per-view
+        # R_i = Ry(-y_i) @ Rx(x_i)  (reference interiornet.py:22-45
+        # compute_rotation_matrix_from_viewpoint: rotay = -y)
+        x1, y1, x2, y2 = vps[1]
+        R1 = Rotation.from_euler("YX", [-y1, x1]).as_matrix()
+        R2 = Rotation.from_euler("YX", [-y2, x2]).as_matrix()
+        np.testing.assert_allclose(
+            s["T_0to1"][:3, :3], R2 @ R1.T, atol=1e-5)
+        np.testing.assert_allclose(s["T_0to1"][:3, 3], 0, atol=1e-7)

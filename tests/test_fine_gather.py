@@ -27,47 +27,10 @@ def test_gather_windows_border_zero_pad(rng):
     assert (w[2:, 2:, :] == 1).all()
 
 
-def test_gather_windows_vmem_kernel(rng):
-    """Pallas VMEM gather (ops/window_gather.py) matches the pointwise
-    reference exactly, including border zeros and K blocking."""
-    from far_tpu.ops.window_gather import gather_windows_vmem
-
-    B, Hf, Wf, C = 2, 24, 32, 8
-    hc, wc, stride, W = 6, 8, 4, 5
-    feat = jnp.asarray(rng.normal(size=(B, Hf, Wf, C)), jnp.float32)
-    # include border cells (id 0 and the last cell) deliberately
-    ids = jnp.asarray(rng.integers(0, hc * wc, size=(B, 16)), jnp.int32)
-    ids = ids.at[0, 0].set(0).at[0, 1].set(hc * wc - 1)
-    ref = gather_windows_pointwise(feat, ids, (hc, wc), stride, W)
-    out = gather_windows_vmem(feat, ids, (hc, wc), stride, W, block_k=8)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
-
-
-def test_gather_windows_vmem_gradient(rng):
-    """The custom VJP (scatter-add) matches the sparse path's autodiff
-    gradient, including overlapping-window accumulation."""
-    import jax
-
-    from far_tpu.ops.window_gather import gather_windows_vmem
-
-    B, Hf, Wf, C = 2, 12, 16, 4
-    hc, wc, stride, W = 6, 8, 2, 5  # stride < W -> overlapping windows
-    feat = jnp.asarray(rng.normal(size=(B, Hf, Wf, C)), jnp.float32)
-    ids = jnp.asarray(rng.integers(0, hc * wc, size=(B, 8)), jnp.int32)
-    cot = jnp.asarray(rng.normal(size=(B, 8, W * W, C)), jnp.float32)
-
-    loss_v = lambda f: jnp.sum(
-        gather_windows_vmem(f, ids, (hc, wc), stride, W, 8) * cot)
-    loss_s = lambda f: jnp.sum(
-        gather_windows(f, ids, (hc, wc), stride, W) * cot)
-    np.testing.assert_allclose(np.asarray(jax.grad(loss_v)(feat)),
-                               np.asarray(jax.grad(loss_s)(feat)),
-                               atol=1e-5)
-
-
 def test_split_merge_matches_concat(rng):
-    """fine.split_merge computes the identical merge with the identical
-    parameter tree (kernel/bias at merge_feat, same init values)."""
+    """fine.split_merge (the default) computes the identical merge with
+    the identical parameter tree (kernel/bias at merge_feat, same init
+    values) as the concat formulation."""
     import dataclasses
 
     import jax
@@ -75,7 +38,7 @@ def test_split_merge_matches_concat(rng):
     from far_tpu.models.fine import FinePreprocess
     from far_tpu.utils.config import FineConfig
 
-    cfg = FineConfig(d_model=16, nhead=4)
+    cfg = FineConfig(d_model=16, nhead=4, split_merge=False)
     cfg_s = dataclasses.replace(cfg, split_merge=True)
     B, Hf, Wf, K, Cc = 2, 16, 16, 4, 32
     hc, wc, stride = 4, 4, 4

@@ -176,29 +176,3 @@ class TestTinyWindowAttention:
         np.testing.assert_allclose(np.asarray(out_masked),
                                    np.asarray(out_trunc),
                                    atol=1e-5, rtol=1e-5)
-
-
-def test_batch_self_stack_equivalence(rng):
-    """batch_self=True runs the two self-layer directions as one doubled
-    batch; outputs must be bit-identical in structure to the sequential
-    stack (same params, same math)."""
-    from far_tpu.models.transformer import LocalFeatureTransformer
-
-    kw = dict(d_model=32, nhead=4, layer_names=("self", "cross", "self"),
-              attention="linear", dtype=jnp.float32)
-    seq = LocalFeatureTransformer(**kw)
-    bat = LocalFeatureTransformer(**kw, batch_self=True)
-    f0 = jnp.asarray(rng.normal(size=(2, 40, 32)), jnp.float32)
-    f1 = jnp.asarray(rng.normal(size=(2, 40, 32)), jnp.float32)
-    variables = seq.init(jax.random.PRNGKey(0), f0, f1)
-    o0, o1 = seq.apply(variables, f0, f1)
-    b0, b1 = bat.apply(variables, f0, f1)
-    np.testing.assert_allclose(np.asarray(b0), np.asarray(o0), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(b1), np.asarray(o1), atol=1e-6)
-    # masked path
-    m0 = jnp.ones((2, 40), bool).at[:, 30:].set(False)
-    m1 = jnp.ones((2, 40), bool)
-    o0, o1 = seq.apply(variables, f0, f1, m0, m1)
-    b0, b1 = bat.apply(variables, f0, f1, m0, m1)
-    np.testing.assert_allclose(np.asarray(b0), np.asarray(o0), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(b1), np.asarray(o1), atol=1e-6)
