@@ -313,6 +313,24 @@ def main():
     r_err = np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0)))
     rot_med = float(np.median(r_err))
 
+    # --- network-quality guard -------------------------------------------
+    # The solver guard above protects L0/L1 only; this replays the
+    # committed trained-on-synthetic checkpoint (assets/tiny_guard.npz,
+    # scripts/train_tiny_guard.py) through the FULL network+solver loop
+    # and asserts its eval pose error, so matcher/regressor perf work
+    # cannot silently break numerics.
+    net_err = None
+    guard_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "assets", "tiny_guard.npz")
+    if os.path.exists(guard_path):
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from train_tiny_guard import guard_eval, load_guard
+
+        g_vars, g_meta, g_cfg = load_guard(guard_path)
+        net_err = guard_eval(g_vars, g_cfg, seed=g_meta["eval_seed"])
+
     cores = os.cpu_count() or 1
     host_io, io_workers = host_io_rate()
     # scale by the decode threads actually used, not the host's cores
@@ -324,6 +342,9 @@ def main():
         "unit": "image pairs/sec/chip (480x640, full FAR loop, B=16)",
         "vs_baseline": round(pairs_per_sec / 62.5, 2),  # 500/s v5e-8 target
         "solver_rot_err_med_deg": round(rot_med, 3),
+        **({"network_rot_err_med_deg": round(net_err, 3),
+            "network_rot_err_expected": g_meta["eval_rot_err_med_deg"]}
+           if net_err is not None else {}),
         "host_io_pairs_per_sec": round(host_io, 1),
         "host_io_cores": cores,
         "host_io_cores_for_chip_rate": host_cores_needed,
@@ -342,6 +363,12 @@ def main():
         pass
     print(json.dumps(out), flush=True)
     assert rot_med < 2.0, f"solver accuracy regressed: {rot_med} deg"
+    if net_err is not None:
+        # generous factor: the guard exists to catch layout/selection
+        # breakages (errors jump to random-pose ~60-120 deg), not noise
+        assert net_err < max(3.0 * g_meta["eval_rot_err_med_deg"], 5.0), (
+            f"network quality regressed: {net_err} deg vs "
+            f"{g_meta['eval_rot_err_med_deg']} at training time")
     # a production v5e host has ~112 vCPUs; the input pipeline must not
     # need an unreasonable share of them to feed one chip
     assert host_cores_needed <= 16, (
