@@ -82,37 +82,38 @@ def gather_windows(
 
     fpad = jnp.pad(feat_f, ((0, 0), (r, r), (r, r), (0, 0)))
     if stride > 1:
-        # Space-to-depth by `stride` first: every strided window slice
-        # becomes a unit-stride slice of one parity plane (strided HBM
-        # reads waste a full cache line per element; measured 1.6x on
-        # the 480x640 path). Then gather the K selected rows PER OFFSET
-        # directly from the parity planes instead of materializing the
-        # full (B, hc*wc, WW, C) all-windows tensor first — at the
-        # production shapes that tensor is ~0.5 GB written + read for a
-        # 52 MB result; the per-offset gathers touch only K rows each.
+        # TPU row-gather is latency-bound on narrow rows: K*WW
+        # per-element fetches of C-wide (256 B) rows off the flat padded
+        # map measured 16 ms, and every relayout that would shrink the
+        # table (space-to-depth transpose, 25 strided-slice planes) costs
+        # 10-38 ms in strided HBM traffic. Instead, widen the rows for
+        # free: group `stride` adjacent columns so the table is
+        # (B, Hp*wg, stride*C) — a pure reshape, 4x wider (1 KB) rows.
+        # Window cols [s*x, s*x+W-1] then span G = 1+(W-1)//s col
+        # groups starting exactly at group x, so each window is W*G
+        # wide-row fetches (10 instead of 25 for W=5, s=4) in ONE
+        # take_along_axis, followed by a static column slice.
+        G = 1 + (window - 1) // stride
         Hp, Wp = Hf + 2 * r, Wf + 2 * r
-        ph = (-Hp) % stride
-        pw = (-Wp) % stride
-        if ph or pw:
-            fpad = jnp.pad(fpad, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            Hp, Wp = Hp + ph, Wp + pw
-        hp, wp = Hp // stride, Wp // stride
-        f2 = fpad.reshape(B, hp, stride, wp, stride,
-                          C).transpose(0, 2, 4, 1, 3, 5)  # (B,s,s,hp,wp,C)
-        planes = f2.reshape(B, stride, stride, hp * wp, C)
-        y = ids // wc  # (B, K) coarse cell coords
+        wg = wc + G - 1
+        pw = stride * wg - Wp
+        if pw > 0:
+            fpad = jnp.pad(fpad, ((0, 0), (0, 0), (0, pw), (0, 0)))
+        elif pw < 0:
+            wg = Wp // stride
+            fpad = fpad[:, :, :stride * wg]
+        table = fpad.reshape(B, Hp * wg, stride * C)
+        y = ids // wc  # (B, K)
         x = ids % wc
-        outs = []
-        for dy in range(window):
-            for dx in range(window):
-                # window element (dy,dx) of cell (y,x) lives at padded
-                # fine pixel (stride*y+dy, stride*x+dx) = parity plane
-                # (dy%s, dx%s), plane coords (y+dy//s, x+dx//s)
-                idx = (y + dy // stride) * wp + (x + dx // stride)
-                outs.append(jnp.take_along_axis(
-                    planes[:, dy % stride, dx % stride], idx[..., None],
-                    axis=1))  # (B, K, C)
-        return jnp.stack(outs, axis=2)  # (B, K, WW, C)
+        dy = jnp.arange(window)
+        g = jnp.arange(G)
+        idx = ((stride * y[:, :, None, None] + dy[None, None, :, None]) * wg
+               + x[:, :, None, None] + g[None, None, None, :])  # (B,K,W,G)
+        K = ids.shape[1]
+        out = jnp.take_along_axis(
+            table, idx.reshape(B, K * window * G)[..., None], axis=1)
+        out = out.reshape(B, K, window, G * stride, C)[:, :, :, :window]
+        return out.reshape(B, K, WW, C)
 
     slices = [
         jax.lax.slice(
