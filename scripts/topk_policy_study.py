@@ -133,7 +133,7 @@ def main(argv=None):
     eval_ds = SyntheticPairDataset(n=args.pairs, hw=(H, W), seed=777,
                                    n_scenes=args.pairs)
     match_fn = jax.jit(lambda v, b: model.apply(
-        v, b, train=True, method=FARLoFTR.match, mutable=False))
+        v, b, train=False, method=FARLoFTR.match, mutable=False))
 
     rows = {K: [] for K in caps}
     dyn_counts, agree = [], {K: [] for K in caps}
@@ -173,22 +173,28 @@ def main(argv=None):
                 cosang = (np.trace(R_est @ R_gt.T) - 1) / 2
                 return float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
 
-            # dynamic policy baseline error (padded into a static call)
-            KD = max(M, 8)
+            # dynamic policy baseline error, padded into a STATIC L-sized
+            # call (a per-pair KD=M shape would recompile estimate_pose
+            # for every distinct match count — ~30 remote compiles)
+            KD = L
             vi = np.zeros(KD, bool)
             vi[:M] = True
             pi = np.zeros(KD, np.int64)
             pj = np.zeros(KD, np.int64)
-            pi[:M], pj[:M] = di, dj
+            pi[:M], pj[:M] = di[:KD], dj[:KD]
             dyn_errs.append(solve(pi, pj, vi))
 
             for K in caps:
                 mcfg = MatchConfig(thr=args.thr,
                                    border_rm=cfg.match.border_rm,
                                    max_matches=min(K, L))
-                ti, tj, tconf, tvalid = (
-                    np.asarray(x[0]) for x in select_topk_matches(
-                        jnp.asarray(ci)[None], (hc, wc), (hc, wc), mcfg))
+                # run the production selection on the host CPU backend:
+                # pushing the 92 MB conf matrix back through the ~50 MB/s
+                # dev tunnel 3x per pair would dominate the study
+                with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                    ti, tj, tconf, tvalid = (
+                        np.asarray(x[0]) for x in select_topk_matches(
+                            jnp.asarray(ci)[None], (hc, wc), (hc, wc), mcfg))
                 sel = set(zip(ti[tvalid].tolist(), tj[tvalid].tolist()))
                 inter = len(sel & dyn_set)
                 denom = max(1, min(M, min(K, L)))
