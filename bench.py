@@ -38,6 +38,30 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def _rewrite_readme_block(tag: str, body: str):
+    """Replace README.md text between <!-- tag:BEGIN --> / <!-- tag:END -->.
+
+    The perf tables in README are generated, never hand-edited — every
+    bench/profile run refreshes them, so published numbers structurally
+    cannot go stale vs the bench-of-record (VERDICT r4 weak #3/#5).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "README.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return
+    begin, end = f"<!-- {tag}:BEGIN", f"<!-- {tag}:END -->"
+    i = text.find(begin)
+    j = text.find(end)
+    if i < 0 or j < 0:
+        return
+    i = text.index("-->", i) + 3  # keep the BEGIN comment (and its note)
+    with open(path, "w") as f:
+        f.write(text[:i] + "\n" + body.rstrip("\n") + "\n" + text[j:])
+
+
 def profile_stages(B: int = 16, iters: int = 10):
     """Per-stage timing table (the README profile breakdown).
 
@@ -170,6 +194,30 @@ def profile_stages(B: int = 16, iters: int = 10):
     jax.block_until_ready(fine_fn(variables, ff0, ff1, t0c, t1c,
                                   i_ids, j_ids))
 
+    # fine sub-stages (VERDICT r4 weak #4: gather / transformer / argmax
+    # must be separately timed so stage-level regressions are attributable)
+    from far_tpu.models.fine import FineMatching, fine_softargmax, \
+        gather_windows
+
+    Wf = cfg.fine.window_size
+    gather_fn = jax.jit(lambda f, ii, jj: (
+        gather_windows(f[0], ii, (hc, wc), stride_ratio, Wf),
+        gather_windows(f[1], jj, (hc, wc), stride_ratio, Wf)))
+    jax.block_until_ready(gather_fn((ff0, ff1), i_ids, j_ids))
+
+    prep_fn = jax.jit(lambda v, *a: model.apply(
+        v, *a, (hc, wc), stride_ratio,
+        method=lambda mm, *aa: mm.fine_preprocess(*aa), mutable=False))
+    f0w, f1w = jax.block_until_ready(
+        prep_fn(variables, ff0, ff1, t0c, t1c, i_ids, j_ids))
+
+    ftr_fn = jax.jit(lambda v, a, b: model.apply(
+        v, a, b, method=lambda mm, x, y: mm.fine_matching.transform(x, y),
+        mutable=False))
+    f0t, f1t = jax.block_until_ready(ftr_fn(variables, f0w, f1w))
+    argmax_fn = jax.jit(lambda a, b: fine_softargmax(a, b, Wf))
+    jax.block_until_ready(argmax_fn(f0t, f1t))
+
     rows = [
         ("matcher (backbone+coarse+match+fine)",
          timeit(match_fn, variables, batch)),
@@ -178,6 +226,12 @@ def profile_stages(B: int = 16, iters: int = 10):
         ("  coarse match", timeit(cm_fn, t0c, t1c)),
         ("  fine stage (gather+transformer+argmax)",
          timeit(fine_fn, variables, ff0, ff1, t0c, t1c, i_ids, j_ids)),
+        ("    fine gather only (both directions)",
+         timeit(gather_fn, (ff0, ff1), i_ids, j_ids)),
+        ("    fine preprocess (gather+merge)",
+         timeit(prep_fn, variables, ff0, ff1, t0c, t1c, i_ids, j_ids)),
+        ("    fine transformer", timeit(ftr_fn, variables, f0w, f1w)),
+        ("    fine soft-argmax", timeit(argmax_fn, f0t, f1t)),
         ("EMM regressor features", timeit(feat_fn, variables, out.feat_c0,
                                           out.feat_c1)),
         (f"RANSAC round 1 ({first_cfg.minimal_solver}, "
@@ -195,6 +249,15 @@ def profile_stages(B: int = 16, iters: int = 10):
         print(f"{name:<46} {t:8.2f} {t / B:9.3f}")
     print(f"{'sum of stages (indented rows excluded)':<46} "
           f"{total:8.2f} {total / B:9.3f}")
+
+    md = [f"| stage | ms @ B={B} | ms/pair |", "|---|---|---|"]
+    for name, t in rows:
+        depth = (len(name) - len(name.lstrip())) // 2
+        md.append(f"| {'&nbsp;' * 4 * depth}{name.strip()} "
+                  f"| {t:.1f} | {t / B:.2f} |")
+    md.append(f"| **sum of top-level stages** | **{total:.1f}** "
+              f"| **{total / B:.2f}** |")
+    _rewrite_readme_block("PROFILE", "\n".join(md))
 
 
 def _claim_backend_with_retry(attempts: int = 5, wait_s: float = 60.0):
@@ -258,17 +321,23 @@ def main():
     base = jax.random.PRNGKey(0)
     float(step(variables, base))
 
-    iters = 30
-    keys = [jax.random.fold_in(base, i) for i in range(iters)]
-    jax.block_until_ready(keys)
-
-    t0 = time.perf_counter()
-    acc = 0.0
-    vals = [step(variables, keys[i]) for i in range(iters)]
-    acc = float(jnp.stack(vals).sum())  # single host sync at the end
-    dt = time.perf_counter() - t0
-    assert np.isfinite(acc)
-    pairs_per_sec = B * iters / dt
+    # N=3 repeats -> median + spread, so round-over-round deltas of a
+    # few pairs/s are attributable to code, not run noise (VERDICT r4 #5)
+    iters, repeats = 30, 3
+    rates = []
+    for rep in range(repeats):
+        keys = [jax.random.fold_in(base, rep * iters + i)
+                for i in range(iters)]
+        jax.block_until_ready(keys)
+        t0 = time.perf_counter()
+        vals = [step(variables, keys[i]) for i in range(iters)]
+        acc = float(jnp.stack(vals).sum())  # single host sync at the end
+        dt = time.perf_counter() - t0
+        assert np.isfinite(acc)
+        rates.append(B * iters / dt)
+    pairs_per_sec = float(np.median(rates))
+    spread_pct = ((max(rates) - min(rates)) / pairs_per_sec * 100.0
+                  if pairs_per_sec else 0.0)
 
     # --- solver-accuracy guard -------------------------------------------
     # The throughput loop above runs a randomly initialized model, so it
@@ -330,9 +399,22 @@ def main():
 
         g_vars, g_meta, g_cfg = load_guard(guard_path)
         net_err = guard_eval(g_vars, g_cfg, seed=g_meta["eval_seed"])
+    else:
+        # the guard ckpt is committed; a checkout without it has lost a
+        # bench accuracy gate and must say so loudly (advisor r4)
+        print(f"WARNING: network-quality guard SKIPPED — {guard_path} "
+              "missing (expected in-repo; bench accuracy gate weakened)",
+              file=sys.stderr)
 
     cores = os.cpu_count() or 1
-    host_io, io_workers = host_io_rate()
+    # host-IO is contention-sensitive on this 1-core host (observed
+    # 42-56 pairs/s same-code across rounds) — median of 3 (VERDICT r4 #7)
+    io_runs = [host_io_rate() for _ in range(3)]
+    host_io = float(np.median([r for r, _ in io_runs]))
+    io_workers = io_runs[0][1]
+    io_spread_pct = ((max(r for r, _ in io_runs)
+                      - min(r for r, _ in io_runs)) / host_io * 100.0
+                     if host_io else 0.0)
     # scale by the decode threads actually used, not the host's cores
     host_cores_needed = float(np.ceil(pairs_per_sec / (host_io / io_workers)))
 
@@ -341,11 +423,13 @@ def main():
         "value": round(pairs_per_sec, 1),
         "unit": "image pairs/sec/chip (480x640, full FAR loop, B=16)",
         "vs_baseline": round(pairs_per_sec / 62.5, 2),  # 500/s v5e-8 target
+        "spread_pct": round(spread_pct, 2),
         "solver_rot_err_med_deg": round(rot_med, 3),
         **({"network_rot_err_med_deg": round(net_err, 3),
             "network_rot_err_expected": g_meta["eval_rot_err_med_deg"]}
            if net_err is not None else {}),
         "host_io_pairs_per_sec": round(host_io, 1),
+        "host_io_spread_pct": round(io_spread_pct, 2),
         "host_io_cores": cores,
         "host_io_cores_for_chip_rate": host_cores_needed,
     }
@@ -362,6 +446,21 @@ def main():
     except Exception:
         pass
     print(json.dumps(out), flush=True)
+    md = [
+        "| metric | this framework | target |", "|---|---|---|",
+        f"| image pairs/sec/chip | **{out['value']}** "
+        f"(±{out['spread_pct']}% over 3 runs) | 62.5 (500/s on v5e-8) |",
+        f"| solver rot err (synthetic guard) "
+        f"| {out['solver_rot_err_med_deg']}° med | — |",
+    ]
+    if net_err is not None:
+        md.append(f"| network guard rot err (tiny trained ckpt) "
+                  f"| {out['network_rot_err_med_deg']}° med "
+                  f"| {out['network_rot_err_expected']}° at train time |")
+    if "train_pairs_per_sec" in out:
+        md.append(f"| train pairs/sec/chip (B={out['train_batch']}) "
+                  f"| {out['train_pairs_per_sec']} | — |")
+    _rewrite_readme_block("BENCH_JSON", "\n".join(md))
     assert rot_med < 2.0, f"solver accuracy regressed: {rot_med} deg"
     if net_err is not None:
         # generous factor: the guard exists to catch layout/selection
@@ -431,9 +530,9 @@ def _write_jpegs(dirpath, n, src_hw=(768, 1024)):
 
 
 def host_io_rate(n_pairs: int = 128, B: int = 16, workers: int = 0,
-                 hw=(480, 640)) -> float:
-    """Disk -> JPEG decode -> native resize -> collated PairBatch rate
-    (pairs/s) through the production Loader (VERDICT r2 #4).
+                 hw=(480, 640)):
+    """(pairs/s, workers): disk -> JPEG decode -> native resize ->
+    collated PairBatch rate through the production Loader (VERDICT r2 #4).
 
     This is the host side the chip depends on in production: with
     prefetch overlap the pipeline sustains min(host_io, chip) pairs/s.

@@ -63,11 +63,8 @@ def gather_windows(
 
     The reference's F.unfold(kernel=W, stride=stride, padding=W//2)
     window l is centered at fine pixel (stride*y_l, stride*x_l) with zero
-    padding. Window centers always lie on the coarse grid, so all L
-    candidate windows are W*W shifted strided slices of the (padded)
-    fine map; building them first turns the K-window lookup into a
-    single big-row gather (25x fewer, 25x larger rows) — much friendlier
-    to the TPU gather path than the per-element version.
+    padding (fine_preprocess.py:41-47). Here each selected window is one
+    (W, W, C) multi-dim slice-gather off the zero-padded fine map.
 
     Args:
         feat_f: (B, Hf, Wf, C) fine features.
@@ -79,53 +76,34 @@ def gather_windows(
     hc, wc = coarse_hw
     r = window // 2
     WW = window * window
+    K = ids.shape[1]
 
+    # One (W, W, C) multi-dim slice per window straight off the padded
+    # map, via lax.gather with real slice_sizes: K fetches per direction
+    # with NO table/relayout build. All prior schemes lost to this
+    # on-chip (B=16, K=1024, 480x640 fine map, both directions):
+    # per-(window,dy) wide-row take_along_axis 17.9 ms, group-major
+    # transposed contiguous slices 19.8 ms, per-element pointwise
+    # 12.2 ms, this 6.8 ms — the TPU gather engine handles strided
+    # multi-dim slices natively, and every row-widening trick paid more
+    # in table-build HBM traffic than it saved in fetch issue.
     fpad = jnp.pad(feat_f, ((0, 0), (r, r), (r, r), (0, 0)))
-    if stride > 1:
-        # TPU row-gather is latency-bound on narrow rows: K*WW
-        # per-element fetches of C-wide (256 B) rows off the flat padded
-        # map measured 16 ms, and every relayout that would shrink the
-        # table (space-to-depth transpose, 25 strided-slice planes) costs
-        # 10-38 ms in strided HBM traffic. Instead, widen the rows for
-        # free: group `stride` adjacent columns so the table is
-        # (B, Hp*wg, stride*C) — a pure reshape, 4x wider (1 KB) rows.
-        # Window cols [s*x, s*x+W-1] then span G = 1+(W-1)//s col
-        # groups starting exactly at group x, so each window is W*G
-        # wide-row fetches (10 instead of 25 for W=5, s=4) in ONE
-        # take_along_axis, followed by a static column slice.
-        G = 1 + (window - 1) // stride
-        Hp, Wp = Hf + 2 * r, Wf + 2 * r
-        wg = wc + G - 1
-        pw = stride * wg - Wp
-        if pw > 0:
-            fpad = jnp.pad(fpad, ((0, 0), (0, 0), (0, pw), (0, 0)))
-        elif pw < 0:
-            wg = Wp // stride
-            fpad = fpad[:, :, :stride * wg]
-        table = fpad.reshape(B, Hp * wg, stride * C)
-        y = ids // wc  # (B, K)
-        x = ids % wc
-        dy = jnp.arange(window)
-        g = jnp.arange(G)
-        idx = ((stride * y[:, :, None, None] + dy[None, None, :, None]) * wg
-               + x[:, :, None, None] + g[None, None, None, :])  # (B,K,W,G)
-        K = ids.shape[1]
-        out = jnp.take_along_axis(
-            table, idx.reshape(B, K * window * G)[..., None], axis=1)
-        out = out.reshape(B, K, window, G * stride, C)[:, :, :, :window]
-        return out.reshape(B, K, WW, C)
-
-    slices = [
-        jax.lax.slice(
-            fpad, (0, dy, dx, 0),
-            (B, dy + hc, dx + wc, C),
-        )
-        for dy in range(window) for dx in range(window)
-    ]
-    allw = jnp.stack(slices, axis=3)  # (B, hc, wc, WW, C)
-    flat = allw.reshape(B, hc * wc, WW * C)
-    out = jnp.take_along_axis(flat, ids[..., None], axis=1)
-    return out.reshape(B, ids.shape[1], WW, C)
+    Hp, Wp = Hf + 2 * r, Wf + 2 * r
+    # slice [y0:y0+W, x0:x0+W] must fit even for the bottom/right cells
+    ph = max(0, stride * (hc - 1) + window - Hp)
+    pw = max(0, stride * (wc - 1) + window - Wp)
+    if ph or pw:
+        fpad = jnp.pad(fpad, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    y0 = (ids // wc) * stride  # (B, K) window-origin fine coords
+    x0 = (ids % wc) * stride
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    out = jax.vmap(lambda t, yy, xx: jax.lax.gather(
+        t, jnp.stack([yy, xx], -1), dnums,
+        slice_sizes=(window, window, C), mode="clip",
+    ))(fpad, y0, x0)  # (B, K, W, W, C)
+    return out.reshape(B, K, WW, C)
 
 
 class _SplitMerge(nn.Module):
@@ -205,6 +183,33 @@ class FinePreprocess(nn.Module):
         return f0, f1
 
 
+def fine_softargmax(
+    f0t: jnp.ndarray,  # (B, K, WW, C) transformed windows
+    f1t: jnp.ndarray,
+    window: int,
+) -> jnp.ndarray:
+    """Center-vs-window soft-argmax: expectation + std over the heatmap.
+
+    Equivalent of crockwell/far: fine_matching.py:15-76. Standalone (no
+    parameters) so the bench can time it separately from the fine
+    transformer."""
+    B, K, WW, C = f0t.shape
+    center = f0t[:, :, WW // 2, :]  # (B, K, C)
+    sim = jnp.einsum("bkc,bkrc->bkr", center, f1t) / C ** 0.5
+    heatmap = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)  # (B, K, WW)
+
+    # normalized grid in [-1, 1]
+    ax = jnp.linspace(-1.0, 1.0, window)
+    gy = jnp.repeat(ax, window)
+    gx = jnp.tile(ax, window)
+    grid = jnp.stack([gx, gy], axis=-1)  # (WW, 2), <x, y>
+
+    coords = jnp.einsum("bkr,rd->bkd", heatmap, grid)  # (B, K, 2)
+    var = jnp.einsum("bkr,rd->bkd", heatmap, grid ** 2) - coords ** 2
+    std = jnp.sum(jnp.sqrt(jnp.clip(var, 1e-10)), axis=-1)  # (B, K)
+    return jnp.concatenate([coords, std[..., None]], axis=-1)  # (B, K, 3)
+
+
 class FineMatching(nn.Module):
     """Fine transformer + center-vs-window soft-argmax refinement.
 
@@ -216,11 +221,12 @@ class FineMatching(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(
+    def transform(
         self,
         f0: jnp.ndarray,  # (B, K, WW, C) windows from FinePreprocess
         f1: jnp.ndarray,
-    ) -> jnp.ndarray:
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fine transformer only (the parameterized part)."""
         B, K, WW, C = f0.shape
         ft = LocalFeatureTransformer(
             d_model=self.cfg.d_model,
@@ -228,27 +234,20 @@ class FineMatching(nn.Module):
             layer_names=tuple(self.cfg.layer_names),
             attention=self.cfg.attention,
             dtype=self.dtype,
+            window_tokens=WW,  # windows are independent: dispatches the
+            # whole stack to the fused Pallas window kernel on TPU
             name="loftr_fine",
         )
         f0t, f1t = ft(f0.reshape(B * K, WW, C), f1.reshape(B * K, WW, C))
-        f0t = f0t.reshape(B, K, WW, C)
-        f1t = f1t.reshape(B, K, WW, C)
+        return f0t.reshape(B, K, WW, C), f1t.reshape(B, K, WW, C)
 
-        W = self.cfg.window_size
-        center = f0t[:, :, WW // 2, :]  # (B, K, C)
-        sim = jnp.einsum("bkc,bkrc->bkr", center, f1t) / C ** 0.5
-        heatmap = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)  # (B, K, WW)
-
-        # normalized grid in [-1, 1]
-        ax = jnp.linspace(-1.0, 1.0, W)
-        gy = jnp.repeat(ax, W)
-        gx = jnp.tile(ax, W)
-        grid = jnp.stack([gx, gy], axis=-1)  # (WW, 2), <x, y>
-
-        coords = jnp.einsum("bkr,rd->bkd", heatmap, grid)  # (B, K, 2)
-        var = jnp.einsum("bkr,rd->bkd", heatmap, grid ** 2) - coords ** 2
-        std = jnp.sum(jnp.sqrt(jnp.clip(var, 1e-10)), axis=-1)  # (B, K)
-        return jnp.concatenate([coords, std[..., None]], axis=-1)  # (B, K, 3)
+    def __call__(
+        self,
+        f0: jnp.ndarray,  # (B, K, WW, C) windows from FinePreprocess
+        f1: jnp.ndarray,
+    ) -> jnp.ndarray:
+        f0t, f1t = self.transform(f0, f1)
+        return fine_softargmax(f0t, f1t, self.cfg.window_size)
 
 
 def fine_coords_to_kpts(

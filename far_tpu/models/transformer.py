@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from far_tpu.models.attention import full_attention, linear_attention
+from far_tpu.ops.fine_layer import fine_transformer_auto
 from far_tpu.ops.loftr_layer import loftr_layer_auto
 
 
@@ -71,7 +72,29 @@ class LoFTREncoderLayer(nn.Module):
     attention: str = "linear"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        C = self.d_model
+        self.q_proj = _Kernel((C, C))
+        self.k_proj = _Kernel((C, C))
+        self.v_proj = _Kernel((C, C))
+        self.merge = _Kernel((C, C))
+        self.norm1 = _LNParams(C)
+        self.mlp_0 = _Kernel((2 * C, 2 * C))
+        self.mlp_1 = _Kernel((2 * C, C))
+        self.norm2 = _LNParams(C)
+
+    def raw(self) -> dict:
+        """Raw parameter dict in the fused-kernel layout (the layer's
+        single source of parameters; same tree paths as the original
+        compact form: q_proj/kernel, norm1/scale, ...)."""
+        C = self.d_model
+        w0 = self.mlp_0()
+        return {"wq": self.q_proj(), "wk": self.k_proj(),
+                "wv": self.v_proj(), "wm": self.merge(),
+                "w0x": w0[:C], "w0m": w0[C:], "w1": self.mlp_1(),
+                "ln1": jnp.stack(self.norm1()),
+                "ln2": jnp.stack(self.norm2())}
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -81,29 +104,21 @@ class LoFTREncoderLayer(nn.Module):
     ) -> jnp.ndarray:
         B, L, C = x.shape
         dim = self.d_model // self.nhead
-        wq = _Kernel((C, C), name="q_proj")()
-        wk = _Kernel((C, C), name="k_proj")()
-        wv = _Kernel((C, C), name="v_proj")()
-        wm = _Kernel((C, C), name="merge")()
-        ln1 = _LNParams(C, name="norm1")()
-        w0 = _Kernel((2 * C, 2 * C), name="mlp_0")()
-        w1 = _Kernel((2 * C, C), name="mlp_1")()
-        ln2 = _LNParams(C, name="norm2")()
+        p = self.raw()
+        wq, wk, wv, wm = p["wq"], p["wk"], p["wv"], p["wm"]
+        w0 = jnp.concatenate([p["w0x"], p["w0m"]], axis=0)
+        w1 = p["w1"]
+        ln1 = (p["ln1"][0], p["ln1"][1])
+        ln2 = (p["ln2"][0], p["ln2"][1])
 
         # The fused kernel wins only on the long coarse token sets. The
-        # tiny fine windows use the MXU-batched tiny-window path in
-        # attention.py (head-block-masked full-C matmuls); two fused
-        # window-kernel designs lost to XLA and were deleted (git
-        # history, ops/loftr_layer.py pre-r3). Small L stays here.
+        # tiny fine windows go through the fused window transformer in
+        # ops/fine_layer.py (dispatched one level up where all layers'
+        # params are visible); masked/odd shapes stay on the XLA path.
         if (self.attention == "linear" and x_mask is None
                 and source_mask is None and x.shape == source.shape
                 and L >= 1024 and L % 8 == 0 and C % 128 == 0):
-            return loftr_layer_auto(
-                x, source,
-                {"wq": wq, "wk": wk, "wv": wv, "wm": wm,
-                 "w0x": w0[:C], "w0m": w0[C:], "w1": w1,
-                 "ln1": jnp.stack(ln1), "ln2": jnp.stack(ln2)},
-                self.nhead)
+            return loftr_layer_auto(x, source, p, self.nhead)
 
         dt = self.dtype
         dense = lambda a, w: a.astype(dt) @ w.astype(dt)
@@ -149,6 +164,10 @@ class LocalFeatureTransformer(nn.Module):
     layer_names: Sequence[str]
     attention: str = "linear"
     dtype: jnp.dtype = jnp.float32
+    # tokens per independent window: set (by FineMatching) when the
+    # (B, L, C) batch is really (windows, window_tokens, C) — enables
+    # the fused whole-transformer window kernel (ops/fine_layer.py)
+    window_tokens: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -158,17 +177,33 @@ class LocalFeatureTransformer(nn.Module):
         mask0: Optional[jnp.ndarray] = None,
         mask1: Optional[jnp.ndarray] = None,
     ):
-        for i, name in enumerate(self.layer_names):
-            layer = LoFTREncoderLayer(
+        layers = [
+            LoFTREncoderLayer(
                 self.d_model, self.nhead, self.attention, self.dtype,
                 name=f"layer_{i}_{name}",
             )
+            for i, name in enumerate(self.layer_names)
+        ]
+        for name in self.layer_names:
+            if name not in ("self", "cross"):
+                raise KeyError(name)
+
+        C = feat0.shape[-1]
+        if (self.window_tokens is not None and mask0 is None
+                and mask1 is None and self.attention == "linear"
+                and feat0.shape == feat1.shape
+                and feat0.shape[1] == self.window_tokens
+                and C == self.d_model and C % 128 == 0):
+            params = [layer.raw() for layer in layers]
+            return fine_transformer_auto(
+                feat0.astype(self.dtype), feat1.astype(self.dtype),
+                params, tuple(self.layer_names), self.nhead)
+
+        for name, layer in zip(self.layer_names, layers):
             if name == "self":
                 feat0 = layer(feat0, feat0, mask0, mask0)
                 feat1 = layer(feat1, feat1, mask1, mask1)
-            elif name == "cross":
+            else:  # cross
                 feat0 = layer(feat0, feat1, mask0, mask1)
                 feat1 = layer(feat1, feat0, mask1, mask0)
-            else:
-                raise KeyError(name)
         return feat0, feat1

@@ -135,7 +135,7 @@ def main(argv=None):
 
 
 def load_guard(path):
-    """(variables, meta) from a tiny_guard.npz."""
+    """(variables, meta, cfg) from a tiny_guard.npz."""
     import jax.tree_util as jtu
 
     z = np.load(path, allow_pickle=False)

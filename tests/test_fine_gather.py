@@ -2,13 +2,21 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from far_tpu.models.fine import gather_windows, gather_windows_pointwise
 
 
-def test_gather_windows_equivalence(rng):
-    B, Hf, Wf, C = 2, 24, 32, 8
-    hc, wc, stride, W = 6, 8, 4, 5
+@pytest.mark.parametrize(
+    "stride,W",
+    # strides above/below W, odd/even combos, and (advisor r4 #1) the
+    # W > stride overlap cases; wc=7 exercises odd grid widths
+    [(2, 5), (3, 5), (4, 5), (8, 5), (2, 3), (4, 7), (1, 5)],
+)
+@pytest.mark.parametrize("wc", [8, 7])
+def test_gather_windows_equivalence(rng, stride, W, wc):
+    B, C, hc = 2, 8, 6
+    Hf, Wf = hc * stride, wc * stride
     feat = jnp.asarray(rng.normal(size=(B, Hf, Wf, C)), jnp.float32)
     ids = jnp.asarray(rng.integers(0, hc * wc, size=(B, 16)), jnp.int32)
     a = gather_windows(feat, ids, (hc, wc), stride, W)
