@@ -18,6 +18,20 @@ from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
+
+
+def _conv_out(x: jnp.ndarray) -> jnp.ndarray:
+    """Tag a conv output for selective rematerialization.
+
+    Identity outside jax.checkpoint. Under config.remat='selective' the
+    backbone is wrapped with policy save_only_these_names('bb_conv'):
+    conv outputs (the MXU-expensive values) stay in HBM while the
+    cheap elementwise norm/relu intermediates between them are
+    recomputed in the backward — every untagged value is one VPU hop
+    from a tagged one, so the recompute never re-runs a conv.
+    """
+    return checkpoint_name(x, "bb_conv")
 
 
 def resize_bilinear_align_corners(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
@@ -78,10 +92,10 @@ class _StemConv(nn.Module):
             jnp.float32,
         )
         if H % 2 or W % 2:  # odd sizes: fall back to the direct conv
-            return jax.lax.conv_general_dilated(
+            return _conv_out(jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 (2, 2), ((3, 3), (3, 3)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
 
         x2 = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
@@ -103,9 +117,9 @@ class _StemConv(nn.Module):
             rows.append(jnp.stack(cols))                      # (4, 4C, O)
         w2 = jnp.stack(rows)                                  # (4, 4, 4C, O)
 
-        return jax.lax.conv_general_dilated(
+        return _conv_out(jax.lax.conv_general_dilated(
             x2.astype(self.dtype), w2, (1, 1), ((2, 1), (2, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
 
 
 class _Norm(nn.Module):
@@ -131,16 +145,18 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype)(x)
+        y = _conv_out(nn.Conv(self.planes, (3, 3),
+                              (self.stride, self.stride), padding=1,
+                              use_bias=False, dtype=self.dtype)(x))
         y = _Norm(self.norm, self.dtype)(y, train)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(y)
+        y = _conv_out(nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                              dtype=self.dtype)(y))
         y = _Norm(self.norm, self.dtype)(y, train)
         if self.stride != 1:
-            x = nn.Conv(self.planes, (1, 1), (self.stride, self.stride),
-                        use_bias=False, dtype=self.dtype)(x)
+            x = _conv_out(nn.Conv(self.planes, (1, 1),
+                                  (self.stride, self.stride),
+                                  use_bias=False, dtype=self.dtype)(x))
             x = _Norm(self.norm, self.dtype)(x, train)
         return nn.relu(x + y)
 
@@ -168,10 +184,12 @@ class _OutConv2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.mid, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(x)
+        x = _conv_out(nn.Conv(self.mid, (3, 3), padding=1, use_bias=False,
+                              dtype=self.dtype)(x))
         x = _Norm(self.norm, self.dtype)(x, train)
         x = nn.leaky_relu(x, 0.01)
-        x = nn.Conv(self.out, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(x)
+        x = _conv_out(nn.Conv(self.out, (3, 3), padding=1, use_bias=False,
+                              dtype=self.dtype)(x))
         return x
 
 
@@ -195,18 +213,18 @@ class ResNetFPN_8_2(nn.Module):
         x3 = _Stage(self.block_dims[2], 2, self.norm, d)(x2, train)   # 1/8
 
         # FPN top-down
-        x3_out = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d,
-                         name="Conv_1")(x3)
+        x3_out = _conv_out(nn.Conv(self.block_dims[2], (1, 1), use_bias=False,
+                                   dtype=d, name="Conv_1")(x3))
 
         x3_up = resize_bilinear_align_corners(x3_out)
-        x2_lat = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d,
-                         name="Conv_2")(x2)
+        x2_lat = _conv_out(nn.Conv(self.block_dims[2], (1, 1), use_bias=False,
+                                   dtype=d, name="Conv_2")(x2))
         x2_out = _OutConv2(self.block_dims[2], self.block_dims[1], self.norm, d)(
             x2_lat + x3_up, train)
 
         x2_up = resize_bilinear_align_corners(x2_out)
-        x1_lat = nn.Conv(self.block_dims[1], (1, 1), use_bias=False, dtype=d,
-                         name="Conv_3")(x1)
+        x1_lat = _conv_out(nn.Conv(self.block_dims[1], (1, 1), use_bias=False,
+                                   dtype=d, name="Conv_3")(x1))
         x1_out = _OutConv2(self.block_dims[1], self.block_dims[0], self.norm, d)(
             x1_lat + x2_up, train)
 
@@ -233,18 +251,18 @@ class ResNetFPN_16_4(nn.Module):
         x3 = _Stage(self.block_dims[2], 2, self.norm, d)(x2, train)   # 1/8
         x4 = _Stage(self.block_dims[3], 2, self.norm, d)(x3, train)   # 1/16
 
-        x4_out = nn.Conv(self.block_dims[3], (1, 1), use_bias=False, dtype=d,
-                         name="Conv_1")(x4)
+        x4_out = _conv_out(nn.Conv(self.block_dims[3], (1, 1), use_bias=False,
+                                   dtype=d, name="Conv_1")(x4))
 
         x4_up = resize_bilinear_align_corners(x4_out)
-        x3_lat = nn.Conv(self.block_dims[3], (1, 1), use_bias=False, dtype=d,
-                         name="Conv_2")(x3)
+        x3_lat = _conv_out(nn.Conv(self.block_dims[3], (1, 1), use_bias=False,
+                                   dtype=d, name="Conv_2")(x3))
         x3_out = _OutConv2(self.block_dims[3], self.block_dims[2], self.norm, d)(
             x3_lat + x4_up, train)
 
         x3_up = resize_bilinear_align_corners(x3_out)
-        x2_lat = nn.Conv(self.block_dims[2], (1, 1), use_bias=False, dtype=d,
-                         name="Conv_3")(x2)
+        x2_lat = _conv_out(nn.Conv(self.block_dims[2], (1, 1), use_bias=False,
+                                   dtype=d, name="Conv_3")(x2))
         x2_out = _OutConv2(self.block_dims[2], self.block_dims[1], self.norm, d)(
             x2_lat + x3_up, train)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from far_tpu.models.backbone import ResNetFPN_8_2, ResNetFPN_16_4
@@ -86,9 +87,16 @@ class FARLoFTR(nn.Module):
         dt = _dtype_of(cfg)
         bb_cls = ResNetFPN_8_2 if cfg.backbone.resolution[0] == 8 \
             else ResNetFPN_16_4
-        if cfg.remat:
-            # rematerialize the FPN in the backward pass (config.remat
-            # docstring); `train` is a static python bool
+        if cfg.remat == "selective":
+            # keep conv outputs, recompute the elementwise norm/relu
+            # values between them (config.remat docstring); `train` is a
+            # static python bool
+            bb_cls = nn.remat(
+                bb_cls, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "bb_conv"))
+        elif cfg.remat:  # True | 'full'
+            # rematerialize the whole FPN in the backward pass
             bb_cls = nn.remat(bb_cls, static_argnums=(2,))
         self.backbone = bb_cls(
             initial_dim=cfg.backbone.initial_dim,

@@ -9,7 +9,7 @@ regress, solver, loss, trainer}.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,10 +149,14 @@ class FARConfig:
     regress_rt: bool = True
     predict_translation_scale: bool = False
     dtype: str = "float32"  # compute dtype: 'float32' | 'bfloat16'
-    remat: bool = False     # jax.checkpoint the backbone: trades ~15%
-                            # backward FLOPs for the FPN activation set,
-                            # letting a 480x640 train batch of 16 fit
-                            # one v5e chip (B=16 OOMs without it)
+    # Backbone rematerialization for training memory (False | True |
+    # 'full' | 'selective'). True/'full' recomputes the whole FPN in the
+    # backward (lets a 480x640 B=16 train batch fit one v5e chip, but
+    # halves throughput — r4 A/B). 'selective' keeps every conv output
+    # (policy save_only_these_names('bb_conv'), models/backbone.py) and
+    # recomputes only the elementwise norm/relu values between them —
+    # ~2x less backbone activation memory for a few % extra HBM traffic.
+    remat: Union[bool, str] = False
 
     def __post_init__(self):
         s = self.backbone.resolution[0]

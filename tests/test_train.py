@@ -115,10 +115,12 @@ class TestShardedTraining:
         assert max(jax.tree.leaves(delta)) > 0
 
     @pytest.mark.slow
-    def test_remat_train_step_matches_plain(self, rng):
-        """cfg.remat (jax.checkpoint on the backbone) must produce the
-        same loss/grads as the plain step — it only changes what is
-        recomputed in the backward, not the math."""
+    @pytest.mark.parametrize("remat", [True, "selective"])
+    def test_remat_train_step_matches_plain(self, rng, remat):
+        """cfg.remat (full backbone jax.checkpoint, or the selective
+        save-conv-outputs policy) must produce the same loss/grads as
+        the plain step — it only changes what is recomputed in the
+        backward, not the math."""
         H = W = 64
         T = np.tile(np.eye(4)[None], (8, 1, 1)).astype(np.float32)
 
@@ -136,7 +138,7 @@ class TestShardedTraining:
             return float(metrics["loss"]), float(metrics["grad_norm"])
 
         loss_p, gn_p = one_step(False)
-        loss_r, gn_r = one_step(True)
+        loss_r, gn_r = one_step(remat)
         assert np.isfinite(loss_r)
         np.testing.assert_allclose(loss_r, loss_p, rtol=1e-4)
         np.testing.assert_allclose(gn_r, gn_p, rtol=1e-3)
