@@ -563,14 +563,17 @@ def host_io_rate(n_pairs: int = 128, B: int = 16, workers: int = 0,
     return n / dt, workers
 
 
-def train_throughput(B: int = 8, iters: int = 5):
+def train_throughput(B: int = 8, iters: int = 5, remat=False):
     """Jitted production train step (forward+backward+update, 480x640,
     bf16) throughput — the second bench metric so perf work on the
     inference path cannot silently regress training (VERDICT r2 #8).
 
-    B=8: the largest production-resolution train batch that fits one
-    v5e chip's 16 GB HBM without rematerialization (B=16 ResourceExhausts;
-    the backward keeps the full backbone+attention activation set).
+    B=8 / remat=False: the largest production-resolution train batch
+    that fits one v5e chip's 16 GB HBM without rematerialization
+    (B=16 ResourceExhausts; the backward keeps the full
+    backbone+attention activation set). remat='selective' (keep conv
+    outputs, recompute elementwise — config.remat docstring) lets
+    B=16 fit; scripts/bench_train_remat.py records the A/B.
 
     Inputs are PRNG-distinct per step and a checksum of the final step's
     loss is fetched once (same anti-caching protocol as the e2e loop).
@@ -583,7 +586,7 @@ def train_throughput(B: int = 8, iters: int = 5):
     from far_tpu.types import PairBatch
     from far_tpu.utils.config import FARConfig
 
-    cfg = FARConfig(dtype="bfloat16")
+    cfg = FARConfig(dtype="bfloat16", remat=remat)
     trainer = Trainer(cfg, OptimConfig(lr=1e-4, warmup_steps=0,
                                        scheduler="none"))
     state = trainer.init(seed=0, batch_size=B)

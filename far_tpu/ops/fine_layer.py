@@ -290,14 +290,21 @@ def fine_transformer_auto(f0, f1, params, layer_names, nhead):
 
 
 def _auto_fwd(f0, f1, params, layer_names, nhead):
-    return _dispatch(f0, f1, params, layer_names, nhead), (f0, f1, params)
-
-
-def _auto_bwd(layer_names, nhead, res, g):
-    f0, f1, params = res
-    _, vjp = jax.vjp(
+    # Under differentiation run the REFERENCE forward and keep its vjp
+    # closure (jax.vjp returns tree_util.Partial pytrees, so it is a
+    # legal residual). Training then pays exactly one reference
+    # fwd+bwd with XLA-chosen residuals — the same cost as the
+    # pre-fusion stack. The first version saved only (f0, f1, params)
+    # and re-ran the reference forward inside the backward on top of
+    # the kernel forward; that double forward cost ~20% train
+    # throughput (17.7 -> 14.2 pairs/s, r5 A/B).
+    out, vjp = jax.vjp(
         lambda a, b, p: fine_transformer_reference(
             a, b, p, layer_names, nhead), f0, f1, params)
+    return out, vjp
+
+
+def _auto_bwd(layer_names, nhead, vjp, g):
     return vjp(g)
 
 

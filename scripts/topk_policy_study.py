@@ -20,8 +20,23 @@ sweeping K in {512, 1024, 2000} (the reference caps correspondences at
 2000, mp3d_loftr/train.py:141-142). Output: a markdown table (stdout)
 for README plus a JSON line.
 
+Two additions after the first full run (r5):
+
+  - RANSAC noise floor: identical match sets solved under two PRNG
+    seeds can differ by degrees when M is small (the solver samples
+    hypotheses from the slot layout, and the layouts differ between
+    the padded-dynamic and top-k formats even at agreement 1.0). The
+    dynamic baseline is therefore solved under a SECOND seed too, and
+    policy deltas must be read against |seedA - seedB|.
+  - threshold sweep (--thrs): at the production thr=0.2 this
+    synthetic-trained matcher emits only tens of matches, so M never
+    reaches K and truncation is never exercised. Lower thresholds
+    (0.05 / 0.0) inflate M into the hundreds/thousands — the regime
+    the reference's 2000 cap exists for — so the K-truncation path is
+    actually measured, not just the M <= K identity case.
+
 Usage: python scripts/topk_policy_study.py [--steps 300] [--pairs 32]
-       [--image_size 480x640] [--cpu]
+       [--image_size 480x640] [--thrs 0.2,0.0] [--cpu]
 """
 
 import argparse
@@ -77,7 +92,11 @@ def main(argv=None):
     ap.add_argument("--pairs", type=int, default=32)
     ap.add_argument("--train_batch", type=int, default=8)
     ap.add_argument("--image_size", default="480x640")
-    ap.add_argument("--thr", type=float, default=0.2)
+    ap.add_argument("--thrs", default="0.2,0.0",
+                    help="confidence thresholds to evaluate; 0.2 is the "
+                    "production setting, lower values inflate the dynamic "
+                    "match count M so the M > K truncation regime is "
+                    "exercised")
     ap.add_argument("--caps", default="512,1024,2000")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -107,8 +126,9 @@ def main(argv=None):
 
     H, W = map(int, args.image_size.split("x"))
     caps = [int(c) for c in args.caps.split(",")]
+    thrs = [float(t) for t in args.thrs.split(",")]
     cfg = FARConfig(image_size=(H, W), dtype="bfloat16",
-                    match=MatchConfig(thr=args.thr))
+                    match=MatchConfig(thr=thrs[0]))
     hc, wc = cfg.coarse_hw
     L = hc * wc
 
@@ -141,9 +161,26 @@ def main(argv=None):
     match_fn = jax.jit(lambda v, b: model.apply(
         v, b, train=False, method=FARLoFTR.match, mutable=False))
 
-    rows = {K: [] for K in caps}
-    dyn_counts, agree = [], {K: [] for K in caps}
-    dyn_errs = []
+    import functools
+
+    solve_cache = {}
+
+    def solver_for(KD):
+        """One jitted estimate_pose per match-slot count (retracing per
+        call dominated the first run's eval phase)."""
+        if KD not in solve_cache:
+            scfg = SolverConfig(solver="prior_ransac_noprior",
+                                num_hypotheses=1024)
+            solve_cache[KD] = jax.jit(functools.partial(
+                estimate_pose, cfg=scfg))
+        return solve_cache[KD]
+
+    rows = {t: {K: [] for K in caps} for t in thrs}
+    dyn_counts = {t: [] for t in thrs}
+    agree = {t: {K: [] for K in caps} for t in thrs}
+    trunc = {t: {K: 0 for K in caps} for t in thrs}
+    dyn_errs = {t: [] for t in thrs}     # seed A
+    dyn_errs_b = {t: [] for t in thrs}   # seed B: RANSAC noise floor
     eb = 4
     for i0 in range(0, args.pairs, eb):
         samples = [eval_ds[i] for i in range(i0, min(i0 + eb, args.pairs))]
@@ -166,80 +203,102 @@ def main(argv=None):
         for bi in range(conf.shape[0]):
             s = samples[bi]
             ci = conf[bi]
-            di, dj, dconf = dynamic_reference_selection(
-                ci.copy(), (hc, wc), (hc, wc), args.thr, cfg.match.border_rm)
-            M = len(di)
-            dyn_counts.append(M)
-            dyn_set = set(zip(di.tolist(), dj.tolist()))
 
-            def solve(i_ids, j_ids, valid):
+            def solve(i_ids, j_ids, valid, seed=0):
                 stride = float(cfg.backbone.resolution[0])
                 p0 = np.stack([(i_ids % wc) * stride, (i_ids // wc) * stride],
                               -1).astype(np.float32)
                 p1 = np.stack([(j_ids % wc) * stride, (j_ids // wc) * stride],
                               -1).astype(np.float32)
-                est = estimate_pose(
-                    jax.random.PRNGKey(1234 + i0 + bi),
+                est = solver_for(len(i_ids))(
+                    jax.random.PRNGKey(1234 + i0 + bi + 7777 * seed),
                     jnp.asarray(p0)[None], jnp.asarray(p1)[None],
                     jnp.asarray(s["K0"])[None], jnp.asarray(s["K1"])[None],
-                    jnp.asarray(valid)[None],
-                    cfg=SolverConfig(solver="prior_ransac_noprior",
-                                     num_hypotheses=1024))
+                    jnp.asarray(valid)[None])
                 R_est = np.asarray(est.R[0], np.float64)
                 R_gt = np.asarray(s["T_0to1"][:3, :3], np.float64)
                 cosang = (np.trace(R_est @ R_gt.T) - 1) / 2
                 return float(np.degrees(np.arccos(np.clip(cosang, -1, 1))))
 
-            # dynamic policy baseline error, padded into a STATIC L-sized
-            # call (a per-pair KD=M shape would recompile estimate_pose
-            # for every distinct match count — ~30 remote compiles)
-            KD = L
-            vi = np.zeros(KD, bool)
-            vi[:M] = True
-            pi = np.zeros(KD, np.int64)
-            pj = np.zeros(KD, np.int64)
-            pi[:M], pj[:M] = di[:KD], dj[:KD]
-            dyn_errs.append(solve(pi, pj, vi))
+            for thr in thrs:
+                di, dj, dconf = dynamic_reference_selection(
+                    ci.copy(), (hc, wc), (hc, wc), thr, cfg.match.border_rm)
+                M = len(di)
+                dyn_counts[thr].append(M)
+                dyn_set = set(zip(di.tolist(), dj.tolist()))
 
-            for K in caps:
-                mcfg = MatchConfig(thr=args.thr,
-                                   border_rm=cfg.match.border_rm,
-                                   max_matches=min(K, L))
-                # run the production selection on the host CPU backend:
-                # pushing the 92 MB conf matrix back through the ~50 MB/s
-                # dev tunnel 3x per pair would dominate the study
-                with jax.default_device(jax.local_devices(backend="cpu")[0]):
-                    ti, tj, tconf, tvalid = (
-                        np.asarray(x[0]) for x in select_topk_matches(
-                            jnp.asarray(ci)[None], (hc, wc), (hc, wc), mcfg))
-                sel = set(zip(ti[tvalid].tolist(), tj[tvalid].tolist()))
-                inter = len(sel & dyn_set)
-                denom = max(1, min(M, min(K, L)))
-                agree[K].append(inter / denom)
-                rows[K].append(solve(ti.astype(np.int64),
-                                     tj.astype(np.int64), tvalid))
+                # dynamic policy baseline error, padded into a STATIC
+                # L-sized call (a per-pair KD=M shape would recompile
+                # estimate_pose for every distinct match count)
+                KD = L
+                vi = np.zeros(KD, bool)
+                vi[:M] = True
+                pi = np.zeros(KD, np.int64)
+                pj = np.zeros(KD, np.int64)
+                pi[:M], pj[:M] = di[:KD], dj[:KD]
+                dyn_errs[thr].append(solve(pi, pj, vi, seed=0))
+                dyn_errs_b[thr].append(solve(pi, pj, vi, seed=1))
 
-    dyn_med = float(np.median(dyn_errs))
-    print("\n| policy | median rot err (deg) | mean match agreement | "
-          "notes |")
-    print("|---|---|---|---|")
-    print(f"| dynamic threshold (reference replay) | {dyn_med:.3f} | — | "
-          f"M: min {min(dyn_counts)} / med "
-          f"{int(np.median(dyn_counts))} / max {max(dyn_counts)} |")
-    payload = {"dyn_median_rot_deg": round(dyn_med, 3),
-               "dyn_counts": [int(min(dyn_counts)),
-                              int(np.median(dyn_counts)),
-                              int(max(dyn_counts))],
-               "caps": {}}
-    for K in caps:
-        med = float(np.median(rows[K]))
-        ag = float(np.mean(agree[K]))
-        print(f"| static top-k K={K} | {med:.3f} | {ag:.4f} | "
-              f"delta {med - dyn_med:+.3f} deg |")
-        payload["caps"][K] = {"median_rot_deg": round(med, 3),
-                              "agreement": round(ag, 4),
-                              "delta_deg": round(med - dyn_med, 3)}
+                for K in caps:
+                    mcfg = MatchConfig(thr=thr,
+                                       border_rm=cfg.match.border_rm,
+                                       max_matches=min(K, L))
+                    # run the production selection on the host CPU
+                    # backend: pushing the 92 MB conf matrix back through
+                    # the ~50 MB/s dev tunnel 3x/pair would dominate
+                    with jax.default_device(cpu):
+                        ti, tj, tconf, tvalid = (
+                            np.asarray(x[0]) for x in select_topk_matches(
+                                jnp.asarray(ci)[None], (hc, wc), (hc, wc),
+                                mcfg))
+                    sel = set(zip(ti[tvalid].tolist(), tj[tvalid].tolist()))
+                    inter = len(sel & dyn_set)
+                    denom = max(1, min(M, min(K, L)))
+                    if M > min(K, L):
+                        trunc[thr][K] += 1
+                    agree[thr][K].append(inter / denom)
+                    rows[thr][K].append(solve(ti.astype(np.int64),
+                                              tj.astype(np.int64), tvalid))
+
+    payload = {"thr": {}}
+    for thr in thrs:
+        dm = float(np.median(dyn_errs[thr]))
+        dm_b = float(np.median(dyn_errs_b[thr]))
+        floor = abs(dm - dm_b)
+        dc = dyn_counts[thr]
+        print(f"\n## thr={thr}")
+        print("| policy | median rot err (deg) | mean match agreement | "
+              "notes |")
+        print("|---|---|---|---|")
+        print(f"| dynamic threshold (reference replay) | {dm:.3f} | — | "
+              f"M: min {min(dc)} / med {int(np.median(dc))} / "
+              f"max {max(dc)} |")
+        print(f"| dynamic, 2nd RANSAC seed (noise floor) | {dm_b:.3f} | — | "
+              f"seed-to-seed delta {floor:.3f} deg |")
+        tp = {"dyn_median_rot_deg": round(dm, 3),
+              "dyn_median_rot_deg_seed_b": round(dm_b, 3),
+              "ransac_noise_floor_deg": round(floor, 3),
+              "dyn_counts": [int(min(dc)), int(np.median(dc)),
+                             int(max(dc))],
+              "caps": {}}
+        for K in caps:
+            med = float(np.median(rows[thr][K]))
+            ag = float(np.mean(agree[thr][K]))
+            ntr = trunc[thr][K]
+            print(f"| static top-k K={K} | {med:.3f} | {ag:.4f} | "
+                  f"delta {med - dm:+.3f} deg; truncated {ntr}/{len(dc)} "
+                  f"pairs |")
+            tp["caps"][K] = {"median_rot_deg": round(med, 3),
+                             "agreement": round(ag, 4),
+                             "delta_deg": round(med - dm, 3),
+                             "pairs_truncated": ntr}
+        payload["thr"][thr] = tp
     print(json.dumps(payload))
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "assets", "topk_policy_study.json")
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"# wrote {os.path.normpath(out_path)}")
 
 
 if __name__ == "__main__":
