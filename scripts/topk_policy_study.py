@@ -20,20 +20,32 @@ sweeping K in {512, 1024, 2000} (the reference caps correspondences at
 2000, mp3d_loftr/train.py:141-142). Output: a markdown table (stdout)
 for README plus a JSON line.
 
-Two additions after the first full run (r5):
+Additions after the first two full runs (r5):
 
   - RANSAC noise floor: identical match sets solved under two PRNG
     seeds can differ by degrees when M is small (the solver samples
-    hypotheses from the slot layout, and the layouts differ between
-    the padded-dynamic and top-k formats even at agreement 1.0). The
-    dynamic baseline is therefore solved under a SECOND seed too, and
-    policy deltas must be read against |seedA - seedB|.
+    hypotheses from the slot layout). The dynamic baseline is solved
+    under a SECOND seed too, and policy deltas must be read against
+    |seedA - seedB|.
   - threshold sweep (--thrs): at the production thr=0.2 this
     synthetic-trained matcher emits only tens of matches, so M never
-    reaches K and truncation is never exercised. Lower thresholds
-    (0.05 / 0.0) inflate M into the hundreds/thousands — the regime
-    the reference's 2000 cap exists for — so the K-truncation path is
-    actually measured, not just the M <= K identity case.
+    reaches K and truncation is never exercised. thr=0.0 inflates M
+    into the hundreds — the regime the reference's 2000 cap exists
+    for — so the K-truncation path is actually measured, not just the
+    M <= K identity case.
+  - conf-sorted dynamic layout + paired deltas: the second full run
+    showed untruncated identical SETS still differing by degrees
+    because the dynamic replay padded matches in row order while
+    select_topk_matches emits conf-descending order, and the solver's
+    Gumbel draws are slot-layout dependent. The dynamic baseline is
+    now sorted by descending confidence (legitimate: the reference
+    feeds cv2 an order-independent solver), so an untruncated pair
+    solves from the identical layout and the per-pair PAIRED delta
+    err_topk - err_dyn isolates the truncation effect instead of
+    drowning it in layout noise. Medians of paired deltas are
+    reported alongside the median-of-errors rows.
+  - --save_ckpt/--load_ckpt: reuse the 10-minute synthetic training
+    phase across eval-side iterations.
 
 Usage: python scripts/topk_policy_study.py [--steps 300] [--pairs 32]
        [--image_size 480x640] [--thrs 0.2,0.0] [--cpu]
@@ -97,7 +109,9 @@ def main(argv=None):
                     "production setting, lower values inflate the dynamic "
                     "match count M so the M > K truncation regime is "
                     "exercised")
-    ap.add_argument("--caps", default="512,1024,2000")
+    ap.add_argument("--caps", default="64,128,256,512,2000")
+    ap.add_argument("--save_ckpt", default="")
+    ap.add_argument("--load_ckpt", default="")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -133,26 +147,41 @@ def main(argv=None):
     L = hc * wc
 
     # --- train the matcher on synthetic until matches are meaningful ---
-    B = args.train_batch
-    trainer = Trainer(cfg, OptimConfig(lr=2e-4, warmup_steps=20,
-                                       scheduler="none"))
-    state = trainer.init(seed=0, batch_size=B)
-    ds = SyntheticPairDataset(n=B * 8, hw=(H, W), seed=0, n_scenes=8)
-    loader = Loader(ds, np.arange(len(ds)), batch_size=B, workers=1)
-    t0 = time.perf_counter()
-    step = 0
-    while step < args.steps:
-        for batch in loader:
-            key = jax.random.fold_in(jax.random.PRNGKey(1), step)
-            state, metrics = trainer.step(state, batch, key)
-            step += 1
-            if step % 50 == 0 or step == args.steps:
-                print(f"# step {step}: loss={float(metrics['loss']):.4f} "
-                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
-            if step >= args.steps:
-                break
+    if args.load_ckpt:
+        import pickle
 
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+        with open(args.load_ckpt, "rb") as f:
+            variables = pickle.load(f)
+        print(f"# loaded matcher weights from {args.load_ckpt}")
+    else:
+        B = args.train_batch
+        trainer = Trainer(cfg, OptimConfig(lr=2e-4, warmup_steps=20,
+                                           scheduler="none"))
+        state = trainer.init(seed=0, batch_size=B)
+        ds = SyntheticPairDataset(n=B * 8, hw=(H, W), seed=0, n_scenes=8)
+        loader = Loader(ds, np.arange(len(ds)), batch_size=B, workers=1)
+        t0 = time.perf_counter()
+        step = 0
+        while step < args.steps:
+            for batch in loader:
+                key = jax.random.fold_in(jax.random.PRNGKey(1), step)
+                state, metrics = trainer.step(state, batch, key)
+                step += 1
+                if step % 50 == 0 or step == args.steps:
+                    print(f"# step {step}: "
+                          f"loss={float(metrics['loss']):.4f} "
+                          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+                if step >= args.steps:
+                    break
+
+        variables = {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}
+        if args.save_ckpt:
+            import pickle
+
+            with open(args.save_ckpt, "wb") as f:
+                pickle.dump(jax.device_get(variables), f)
+            print(f"# saved matcher weights to {args.save_ckpt}")
     model = FARLoFTR(cfg)
 
     # --- conf matrices + dense features on held-out pairs --------------
@@ -223,6 +252,15 @@ def main(argv=None):
             for thr in thrs:
                 di, dj, dconf = dynamic_reference_selection(
                     ci.copy(), (hc, wc), (hc, wc), thr, cfg.match.border_rm)
+                # conf-descending layout, matching select_topk_matches'
+                # lax.top_k output order: the solver's hypothesis draws
+                # are slot-layout dependent, so an identical match SET
+                # in an identical layout solves identically and the
+                # paired delta below isolates the truncation effect.
+                # (Legitimate canonicalization: the reference hands its
+                # matches to cv2, an order-independent solver.)
+                order = np.argsort(-dconf, kind="stable")
+                di, dj, dconf = di[order], dj[order], dconf[order]
                 M = len(di)
                 dyn_counts[thr].append(M)
                 dyn_set = set(zip(di.tolist(), dj.tolist()))
@@ -262,35 +300,42 @@ def main(argv=None):
 
     payload = {"thr": {}}
     for thr in thrs:
-        dm = float(np.median(dyn_errs[thr]))
-        dm_b = float(np.median(dyn_errs_b[thr]))
-        floor = abs(dm - dm_b)
+        ea = np.asarray(dyn_errs[thr])
+        eb = np.asarray(dyn_errs_b[thr])
+        dm, dm_b = float(np.median(ea)), float(np.median(eb))
+        # PAIRED seed-to-seed spread: the RANSAC noise floor any policy
+        # delta must clear (same matches, different hypothesis draws)
+        floor = float(np.median(np.abs(eb - ea)))
         dc = dyn_counts[thr]
         print(f"\n## thr={thr}")
-        print("| policy | median rot err (deg) | mean match agreement | "
-              "notes |")
-        print("|---|---|---|---|")
-        print(f"| dynamic threshold (reference replay) | {dm:.3f} | — | "
-              f"M: min {min(dc)} / med {int(np.median(dc))} / "
+        print("| policy | median rot err (deg) | median paired delta "
+              "(deg) | mean match agreement | notes |")
+        print("|---|---|---|---|---|")
+        print(f"| dynamic threshold (reference replay) | {dm:.3f} | — | — "
+              f"| M: min {min(dc)} / med {int(np.median(dc))} / "
               f"max {max(dc)} |")
-        print(f"| dynamic, 2nd RANSAC seed (noise floor) | {dm_b:.3f} | — | "
-              f"seed-to-seed delta {floor:.3f} deg |")
+        print(f"| dynamic, 2nd RANSAC seed (noise floor) | {dm_b:.3f} | "
+              f"{floor:.3f} | — | floor any policy delta must clear |")
         tp = {"dyn_median_rot_deg": round(dm, 3),
               "dyn_median_rot_deg_seed_b": round(dm_b, 3),
-              "ransac_noise_floor_deg": round(floor, 3),
+              "ransac_noise_floor_paired_deg": round(floor, 3),
               "dyn_counts": [int(min(dc)), int(np.median(dc)),
                              int(max(dc))],
               "caps": {}}
         for K in caps:
-            med = float(np.median(rows[thr][K]))
+            ek = np.asarray(rows[thr][K])
+            med = float(np.median(ek))
+            pd = float(np.median(ek - ea))
+            pd_abs = float(np.median(np.abs(ek - ea)))
             ag = float(np.mean(agree[thr][K]))
             ntr = trunc[thr][K]
-            print(f"| static top-k K={K} | {med:.3f} | {ag:.4f} | "
-                  f"delta {med - dm:+.3f} deg; truncated {ntr}/{len(dc)} "
-                  f"pairs |")
+            print(f"| static top-k K={K} | {med:.3f} | {pd:+.3f} "
+                  f"(|.|: {pd_abs:.3f}) | {ag:.4f} | truncated "
+                  f"{ntr}/{len(dc)} pairs |")
             tp["caps"][K] = {"median_rot_deg": round(med, 3),
+                             "paired_delta_deg": round(pd, 3),
+                             "paired_abs_delta_deg": round(pd_abs, 3),
                              "agreement": round(ag, 4),
-                             "delta_deg": round(med - dm, 3),
                              "pairs_truncated": ntr}
         payload["thr"][thr] = tp
     print(json.dumps(payload))
