@@ -59,11 +59,14 @@ def linear_attention(
         # cross-head blocks with a constant (C, C) block-diagonal mask.
         # The 8x redundant cross-head FLOPs are free (the MXU was idle);
         # the layout never leaves (rows, 128) registers.
-        # (The associativity-equivalent quadratic form (phiQ phiK^T) V
-        # looks cheaper on paper — its (n, h, l, s) intermediate is
-        # 164 MB vs this form's 537 MB — but measured 14.6 ms/layer vs
-        # 7.95 here: s=25 in the minor dim pads to 128 lanes, a 5x
-        # physical bloat. Keep C=128 minor.)
+        # Isolated A/B at production fine shapes (n=16384, l=s=25, h=8,
+        # d=16, bf16; scripts/bench_tiny_attention.py, fence-calibrated,
+        # median of 3x30 dispatches): this branch 4.85 ms vs generic
+        # per-head einsum 9.72 ms (2.00x) vs the quadratic-form
+        # (phiQ phiK^T) V alternative 12.32 ms — the quadratic form
+        # looks cheaper on paper (164 MB intermediate vs 537 MB) but
+        # s=25 in the minor dim pads to 128 lanes, a 5x physical bloat.
+        # Keep C=128 minor.
         n, l, h, d = Q.shape
         s = K.shape[1]
         C = h * d
