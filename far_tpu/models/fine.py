@@ -225,6 +225,7 @@ class FineMatching(nn.Module):
         self,
         f0: jnp.ndarray,  # (B, K, WW, C) windows from FinePreprocess
         f1: jnp.ndarray,
+        train: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Fine transformer only (the parameterized part)."""
         B, K, WW, C = f0.shape
@@ -236,17 +237,20 @@ class FineMatching(nn.Module):
             dtype=self.dtype,
             window_tokens=WW,  # windows are independent: dispatches the
             # whole stack to the fused Pallas window kernel on TPU
+            # (eval only; training runs the AD-transparent layer loop)
             name="loftr_fine",
         )
-        f0t, f1t = ft(f0.reshape(B * K, WW, C), f1.reshape(B * K, WW, C))
+        f0t, f1t = ft(f0.reshape(B * K, WW, C), f1.reshape(B * K, WW, C),
+                      train=train)
         return f0t.reshape(B, K, WW, C), f1t.reshape(B, K, WW, C)
 
     def __call__(
         self,
         f0: jnp.ndarray,  # (B, K, WW, C) windows from FinePreprocess
         f1: jnp.ndarray,
+        train: bool = False,
     ) -> jnp.ndarray:
-        f0t, f1t = self.transform(f0, f1)
+        f0t, f1t = self.transform(f0, f1, train=train)
         return fine_softargmax(f0t, f1t, self.cfg.window_size)
 
 

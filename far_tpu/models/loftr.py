@@ -194,7 +194,7 @@ class FARLoFTR(nn.Module):
             feat_f0, feat_f1, t0, t1, i_ids, j_ids, (hc, wc),
             stride=fine_stride_ratio,
         )
-        expec_f = self.fine_matching(f0w, f1w)
+        expec_f = self.fine_matching(f0w, f1w, train=train)
         mkpts1_f = fine_coords_to_kpts(
             expec_f, mkpts1, cfg.fine.window_size,
             float(cfg.backbone.resolution[1]), batch.scale1,

@@ -116,3 +116,28 @@ def test_fine_matching_dispatch_and_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
     assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_fine_matching_train_path_matches_eval():
+    """train=True runs the plain AD-transparent layer loop (no fused
+    dispatch, no custom_vjp); same params, same outputs as eval."""
+    from far_tpu.models.fine import FineMatching
+    from far_tpu.utils.config import FineConfig
+
+    m = FineMatching(cfg=FineConfig())
+    f0 = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 25, 128))
+    f1 = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 25, 128))
+    v = m.init(jax.random.PRNGKey(2), f0, f1)
+    out_eval = m.apply(v, f0, f1)
+    out_train = m.apply(v, f0, f1, train=True)
+    np.testing.assert_allclose(np.asarray(out_train),
+                               np.asarray(out_eval), rtol=1e-5, atol=1e-5)
+
+    def loss(params):
+        return jnp.sum(m.apply({"params": params}, f0, f1,
+                               train=True) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
